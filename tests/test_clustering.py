@@ -1,0 +1,134 @@
+"""Connected components vs a single-node union-find oracle, post-match
+semantics, evaluation vs the reference's O(N²) loop."""
+
+import random
+
+import pyspark.sql.functions as F
+
+from whoiswho_spark.operators.clustering import (
+    connected_components,
+    post_match,
+    threshold_edges,
+)
+from whoiswho_spark.operators.evaluation import pairwise_scores_per_block
+
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_cc_matches_union_find_random_graphs(spark):
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 60
+        nodes = [f"n{i:03d}" for i in range(n)]
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(rng.randint(20, 80))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        want = _union_find(edges, nodes)
+
+        edf = spark.createDataFrame(edges, "src string, dst string")
+        vdf = spark.createDataFrame([(x,) for x in nodes], "url string")
+        got = {
+            r["url"]: r["cluster_id"]
+            for r in connected_components(edf, vertices=vdf).collect()
+        }
+        # same partition: compare group structure AND representative (both
+        # use component-min, so they must be equal exactly)
+        assert got == want, f"trial {trial}"
+
+
+def test_cc_chain_converges(spark):
+    # a long path graph exercises the O(log n) star rounds
+    n = 64
+    edges = [(f"v{i:03d}", f"v{i + 1:03d}") for i in range(n - 1)]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = connected_components(edf).collect()
+    assert {r["cluster_id"] for r in got} == {"v000"}
+    assert len(got) == n
+
+
+def test_threshold_edges(spark):
+    pairs = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "c", 1.5), ("c", "d", 1.49)],
+        "url_a string, url_b string, score double",
+    )
+    got = {(r["src"], r["dst"]) for r in threshold_edges(pairs, 1.5).collect()}
+    assert got == {("a", "b"), ("b", "c")}  # ≥ threshold, strict cut below
+
+
+def test_post_match_attach_and_merge(spark):
+    # clusters: a,b together; x,y,z outliers.
+    clusters = spark.createDataFrame(
+        [("a", "C1"), ("b", "C1"), ("x", "X"), ("y", "Y"), ("z", "Z")],
+        "url string, cluster_id string",
+    )
+    pairs = spark.createDataFrame(
+        [
+            ("x", "a", 2.0),   # x attaches to C1 (best ≥1.5 non-outlier)
+            ("x", "b", 1.7),
+            ("y", "a", 1.0),   # below threshold → y keeps own cluster
+            ("y", "z", 1.8),   # outlier-outlier merge y+z
+        ],
+        "url_a string, url_b string, score double",
+    )
+    outliers = spark.createDataFrame([("x",), ("y",), ("z",)], "url string")
+    got = {r["url"]: r["cluster_id"] for r in post_match(clusters, pairs, outliers).collect()}
+    assert got["a"] == got["b"] == "C1"
+    assert got["x"] == "C1"
+    assert got["y"] == got["z"] != "C1"
+
+
+def _ref_pairwise(correct, pred):
+    """Reference pairwise_evaluate loop (/root/reference/whoiswho/
+    evaluation/SNDeval.py:47-70), as the oracle."""
+    TP = TP_FP = TP_FN = 0.0
+    n = len(correct)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if correct[i] == correct[j]:
+                TP_FN += 1
+            if pred[i] == pred[j]:
+                TP_FP += 1
+            if correct[i] == correct[j] and pred[i] == pred[j]:
+                TP += 1
+    if TP == 0:
+        return 0.0, 0.0, 0.0
+    p, r = TP / TP_FP, TP / TP_FN
+    return p, r, 2 * p * r / (p + r)
+
+
+def test_pairwise_scores_match_reference_loop(spark):
+    rng = random.Random(5)
+    rows = []
+    oracle = {}
+    for b in range(6):
+        n = rng.randint(3, 15)
+        truth = [rng.randint(0, 3) for _ in range(n)]
+        pred = [rng.randint(0, 3) for _ in range(n)]
+        # ensure at least one positive pair so the block is in-scope
+        truth[0] = truth[1] = 99
+        oracle[f"blk{b}"] = _ref_pairwise(truth, pred)
+        for i, (t, p) in enumerate(zip(truth, pred)):
+            rows.append((f"blk{b}", f"u{b}_{i}", t, p))
+    df = spark.createDataFrame(rows, "block_key string, url string, truth int, pred int")
+    got = {
+        r["block_key"]: (r["precision"], r["recall"], r["f1"])
+        for r in pairwise_scores_per_block(df).collect()
+    }
+    for b, want in oracle.items():
+        for g, w in zip(got[b], want):
+            assert abs(g - w) < 1e-12, (b, got[b], want)

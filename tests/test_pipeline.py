@@ -1,0 +1,95 @@
+"""End-to-end gates: pairwise F1 ≥ 0.99, determinism, resume (SURVEY.md §5.2)."""
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+
+from whoiswho_spark.operators.evaluation import macro_pairwise_f1, labeled_block_view
+from whoiswho_spark.plans.pipeline import ERConfig, evaluate_run, run_pipeline
+
+
+def _split(corpus):
+    pages = corpus.select("url", "warc_ts", "html", "text", "lang")
+    embs = corpus.select("url", "embedding")
+    labels = corpus.select("url", "entity_id")
+    return pages, embs, labels
+
+
+def test_f1_gate(spark, corpus, workdir):
+    """THE gate: macro pairwise F1 ≥ 0.99 on labeled pairs sharing a
+    blocking key (BASELINE.json metric)."""
+    wd = f"{workdir}/gate"
+    pages, embs, labels = _split(corpus)
+    run_pipeline(spark, pages, embs, wd)
+    f1 = evaluate_run(spark, wd, labels)
+    assert f1 >= 0.99, f"pairwise F1 {f1} < 0.99"
+
+
+def test_salted_pipeline_identical_clusters(spark, corpus, workdir):
+    """Salting is a physical choice — logical result must be unchanged."""
+    wd1, wd2 = f"{workdir}/gate", f"{workdir}/salted"
+    pages, embs, labels = _split(corpus)
+    run_pipeline(spark, pages, embs, wd1)  # resume: already built by gate test
+    run_pipeline(spark, pages, embs, wd2, ERConfig(n_salts=8))
+    c1 = spark.read.parquet(f"{wd1}/clusters")
+    c2 = spark.read.parquet(f"{wd2}/clusters")
+    assert c1.exceptAll(c2).count() == 0 and c2.exceptAll(c1).count() == 0
+
+
+def test_determinism(spark, corpus, workdir):
+    """Two independent runs produce identical cluster tables."""
+    wd1, wd2 = f"{workdir}/det1", f"{workdir}/det2"
+    pages, embs, _ = _split(corpus)
+    run_pipeline(spark, pages, embs, wd1)
+    run_pipeline(spark, pages, embs, wd2)
+    c1 = spark.read.parquet(f"{wd1}/clusters")
+    c2 = spark.read.parquet(f"{wd2}/clusters")
+    assert c1.exceptAll(c2).count() == 0 and c2.exceptAll(c1).count() == 0
+
+
+def test_resume_skips_completed_and_recovers(spark, corpus, workdir):
+    """Kill-after-pairs simulation: wipe the late stages, resume, get the
+    identical final clusters; completed stages are NOT recomputed."""
+    wd = f"{workdir}/resume"
+    pages, embs, labels = _split(corpus)
+    run_pipeline(spark, pages, embs, wd)
+    clusters_before = sorted(
+        (r["url"], r["cluster_id"])
+        for r in spark.read.parquet(f"{wd}/clusters").collect()
+    )
+
+    # simulate failure mid-pipeline: edges+clusters lost, pairs survive
+    shutil.rmtree(f"{wd}/edges")
+    shutil.rmtree(f"{wd}/clusters")
+    pairs_mtime = os.path.getmtime(f"{wd}/pairs/_SUCCESS")
+
+    run_pipeline(spark, pages, embs, wd)
+    clusters_after = sorted(
+        (r["url"], r["cluster_id"])
+        for r in spark.read.parquet(f"{wd}/clusters").collect()
+    )
+    assert clusters_before == clusters_after
+    # completed stage untouched (skip-if-complete)
+    assert os.path.getmtime(f"{wd}/pairs/_SUCCESS") == pairs_mtime
+
+
+def test_metrics_lineage_written(spark, corpus, workdir):
+    """Every stage appends per-partition lineage counters."""
+    wd = f"{workdir}/gate"  # built above
+    m = spark.read.parquet(f"{wd}/metrics")
+    stages = {r["stage"] for r in m.select("stage").distinct().collect()}
+    assert {"extract", "blocks", "pairs", "edges", "clusters"} <= stages
+    assert m.where("rows_out < 0").count() == 0
+    assert m.where("partition_id is null").count() == 0
+
+
+def test_eval_restricted_to_shared_block_pairs(spark, corpus, workdir):
+    """The metric input only contains labeled urls with their block keys."""
+    wd = f"{workdir}/gate"
+    blocks = spark.read.parquet(f"{wd}/blocks")
+    clusters = spark.read.parquet(f"{wd}/clusters")
+    labels = corpus.select("url", "entity_id")
+    lbv = labeled_block_view(blocks, labels, clusters)
+    assert lbv.where(F.col("block_key").isNull()).count() == 0
+    assert macro_pairwise_f1(lbv) >= 0.99

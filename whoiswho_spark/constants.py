@@ -1,0 +1,85 @@
+"""Behavioral contract constants.
+
+These are *data* (regex pattern + stopword lists) reproduced verbatim from
+the reference so that extracted/normalized text is byte-identical per url:
+
+- punctuation pattern: /root/reference/whoiswho/dataset/data_process.py:19
+- stopwords:           data_process.py:20-21
+- stopwords_extend:    data_process.py:22-26
+- stopwords_check:     data_process.py:27-31
+
+Field-specific filter recipes (which lists apply, token length threshold,
+set-vs-list dedup, the 'null' venue marker) follow
+data_process.py:121-207 and semantic_features.py:110-135; see
+``whoiswho_spark.functions.normalize``.
+"""
+
+# Reference punctuation class (data_process.py:19). The reference pattern is
+# ``'[!“”"#$%&\'()*+,-./:;<=>?@[\\]^_`{|}~—～’]+'`` handed to
+# ``re.sub(puncs, ' ', s)``. Its character class contains exactly the literal
+# characters below (the ``,-.`` range covers , - . ; ``[`` is literal inside a
+# Python class; ``\]`` is an escaped literal ``]``). Because Java regex parses
+# a bare ``[`` inside a class as a nested class union, we rebuild the class
+# programmatically with every ASCII punctuation char backslash-escaped —
+# that form is valid and identical in BOTH Python ``re`` and Java
+# ``java.util.regex`` (golden tests assert behavioral equality with the
+# reference pattern).
+PUNCT_CHARS = '!“”"#$%&\'()*+,-./:;<=>?@[]^_`{|}~—～’'
+
+
+def _portable_punct_class() -> str:
+    out = []
+    for ch in PUNCT_CHARS:
+        if ord(ch) < 128 and not ch.isalnum():
+            out.append('\\' + ch)
+        else:
+            out.append(ch)
+    return '[' + ''.join(out) + ']+'
+
+
+# One pattern string, usable verbatim in Python re.sub AND Spark
+# regexp_replace (Java regex).
+PUNCS = _portable_punct_class()
+# The reference's original Python-only spelling, kept for golden parity tests.
+PUNCS_REFERENCE_PY = '[!“”"#$%&\'()*+,-./:;<=>?@[\\]^_`{|}~—～’]+'
+
+WHITESPACE_COLLAPSE = r'\s{2,}'
+
+STOPWORDS = [
+    'at', 'based', 'in', 'of', 'for', 'on', 'and', 'to', 'an', 'using',
+    'with', 'the', 'by', 'we', 'be', 'is', 'are', 'can',
+]
+
+STOPWORDS_EXTEND = [
+    'university', 'univ', 'china', 'department', 'dept', 'laboratory', 'lab',
+    'school', 'al', 'et', 'institute', 'inst', 'college', 'chinese',
+    'beijing', 'journal', 'science', 'international', 'key', 'sciences',
+    'research', 'academy', 'state', 'center',
+]
+
+STOPWORDS_CHECK = [
+    'a', 'was', 'were', 'that', '2', 'key', '1', 'technology', '0',
+    'sciences', 'as', 'from', 'r', '3', 'academy', 'this', 'nanjing',
+    'shanghai', 'state', 's', 'research', 'p', 'results', 'peoples', '4',
+    'which', '5', 'high', 'materials', 'study', 'control', 'method', 'group',
+    'c', 'between', 'or', 'it', 'than', 'analysis', 'system', 'sci', 'two',
+    '6', 'has', 'h', 'after', 'different', 'n', 'national', 'japan', 'have',
+    'cell', 'time', 'zhejiang', 'used', 'data', 'these',
+]
+
+# Pair-score weights for the post-match stage
+# (/root/reference/whoiswho/training/AutoTrainSND.py:50-52; duplicated in
+# bond/training/generate_pair.py:82-88).
+W_AUTHOR = 1.5
+W_ORG = 1.0
+W_VENUE = 1.0
+W_TITLE = 0.33
+
+# Post-match attach threshold (AutoTrainSND.py:194, 205).
+POST_MATCH_THRESHOLD = 1.5
+
+# RND top-1 assignment NIL thresholds (AutoTrainRND.py:321-324).
+RND_NIL_THRESHOLD = 0.65
+
+# Year sanitization window (data_process.py:330-337).
+YEAR_MIN, YEAR_MAX = 1500, 2023

@@ -1,0 +1,208 @@
+"""Transitive clustering — thresholded match graph → connected components.
+
+The reference clusters per block with DBSCAN on a dense N×N distance
+matrix plus a sequential post-match pass (/root/reference/whoiswho/
+training/AutoTrainSND.py:163-206, loadmodel/ClusterModels.py:5-23). Dense
+matrices don't exist at 10^12 rows; per the north star we re-express the
+transitive step as **iterative large-star / small-star connected
+components** (Kiveris et al., "Connected Components in MapReduce and
+Beyond") over the sparse edge table — O(log n) rounds, each round two
+shuffles, lineage cut per round with localCheckpoint.
+
+Semantics contract (tested): identical component assignment to a
+single-node union-find on the same edge set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from whoiswho_spark.constants import POST_MATCH_THRESHOLD
+
+
+def threshold_edges(
+    scored_pairs: DataFrame,
+    threshold: float = POST_MATCH_THRESHOLD,
+    score_col: str = "score",
+    src: str = "url_a",
+    dst: str = "url_b",
+) -> DataFrame:
+    """Keep pairs with score ≥ threshold (the ≥1.5 attach rule of
+    AutoTrainSND.py:194) → edges(src, dst)."""
+    return (
+        scored_pairs.where(F.col(score_col) >= threshold)
+        .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u."""
+    sym = _symmetrize(edges)
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges (u ≥ v); for each u: m = min(N_≤(u) ∪ {u}); emit (v, m)
+    for v ∈ N_≤(u) ∪ {u}, v ≠ m."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = oriented.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    nodes = oriented.join(mins, "src").select(
+        F.col("dst").alias("v"), F.col("m"), F.col("src").alias("u")
+    )
+    self_rows = mins.select(
+        F.col("src").alias("v"), F.col("m"), F.col("src").alias("u")
+    )
+    return (
+        nodes.union(self_rows)
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, vertices: DataFrame | None = None, max_iter: int = 25
+) -> DataFrame:
+    """edges(src, dst) → (url, cluster_id STRING = component-min node id).
+
+    Alternates large-star/small-star until the edge set is a fixpoint
+    (checked by count + order-insensitive checksum — two cheap aggregates,
+    no collect of edges). Each iteration localCheckpoints to truncate
+    lineage; at cluster scale swap for checkpoint-to-table (plans/
+    pipeline.py does exactly that for resumability).
+
+    ``vertices`` (column ``url``): optional universe; isolated vertices
+    become singleton clusters labeled by themselves.
+    """
+    edges = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    edges = edges.localCheckpoint()
+
+    def _checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # At the fixpoint every edge is (node, component_min).
+    labels = (
+        _symmetrize(edges)
+        .groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("cluster_id"))
+        .select(F.col("src").alias("url"), "cluster_id")
+    )
+    if vertices is not None:
+        labels = (
+            vertices.select("url")
+            .distinct()
+            .join(labels, "url", "left")
+            .select("url", F.coalesce("cluster_id", F.col("url")).alias("cluster_id"))
+        )
+    return labels
+
+
+def post_match(
+    clusters: DataFrame,
+    scored_pairs: DataFrame,
+    outliers: DataFrame,
+    threshold: float = POST_MATCH_THRESHOLD,
+) -> DataFrame:
+    """Outlier reattachment, relationally (AutoTrainSND.py:163-206).
+
+    - outlier→non-outlier: attach each outlier to the cluster of its
+      best-scoring non-outlier neighbor if that score ≥ threshold
+      (window max per outlier = the reference's argmax loop).
+    - outlier→outlier: pairs ≥ threshold merge transitively — the
+      reference chains assignments in a sequential pass; connected
+      components is the order-free equivalent.
+    - unattached outliers keep their own singleton cluster.
+
+    clusters: (url, cluster_id); scored_pairs: (url_a, url_b, score);
+    outliers: (url).
+    """
+    out = outliers.select("url").distinct()
+    sym = scored_pairs.select(
+        F.col("url_a").alias("u"), F.col("url_b").alias("v"), "score"
+    ).union(
+        scored_pairs.select(
+            F.col("url_b").alias("u"), F.col("url_a").alias("v"), "score"
+        )
+    )
+    # best non-outlier neighbor per outlier
+    cand = (
+        sym.join(out.withColumnRenamed("url", "u"), "u")
+        .join(
+            out.withColumnRenamed("url", "v").withColumn("_is_out", F.lit(1)),
+            "v",
+            "left_anti",
+        )
+        .where(F.col("score") >= threshold)
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("score"), F.asc("v"))
+    attach = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("u").alias("url"), F.col("v").alias("anchor"))
+    )
+    anchored = attach.join(
+        clusters.withColumnRenamed("url", "anchor").withColumnRenamed(
+            "cluster_id", "anchor_cluster"
+        ),
+        "anchor",
+    ).select("url", F.col("anchor_cluster").alias("cluster_id"))
+
+    # outlier-outlier transitive merges
+    oo_edges = (
+        scored_pairs.join(out.withColumnRenamed("url", "url_a"), "url_a")
+        .join(out.withColumnRenamed("url", "url_b"), "url_b")
+        .where(F.col("score") >= threshold)
+        .select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
+    )
+    oo_cc = connected_components(oo_edges)
+
+    merged = (
+        clusters.join(anchored.withColumnRenamed("cluster_id", "new_cid"), "url", "left")
+        .select("url", F.coalesce("new_cid", F.col("cluster_id")).alias("cluster_id"))
+    )
+    # outlier-outlier groups adopt one shared cluster id (min member's id)
+    grp = (
+        oo_cc.withColumnRenamed("cluster_id", "oo_root")
+        .join(merged, "url")
+        .groupBy("oo_root")
+        .agg(F.min("cluster_id").alias("oo_cid"))
+    )
+    return (
+        merged.join(oo_cc.withColumnRenamed("cluster_id", "oo_root"), "url", "left")
+        .join(grp, "oo_root", "left")
+        .select("url", F.coalesce("oo_cid", F.col("cluster_id")).alias("cluster_id"))
+    )

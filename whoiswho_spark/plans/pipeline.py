@@ -1,0 +1,155 @@
+"""End-to-end entity-resolution pipeline.
+
+The Spark re-expression of ``demo.py --task SND`` (/root/reference/
+demo.py:71-82; stage trace in SURVEY.md §3.1): five checkpointed
+DataFrame jobs —
+
+    extract  → normalize + tokenize pages (Catalyst exprs + the
+               byte-identical extract_text pandas UDF)
+    blocks   → host + MinHash/LSH block keys (blocking.py)
+    pairs    → within-block self-join + feature scoring (pairs.py,
+               scoring.py); salted replicate-join when skew demands
+    edges    → score ≥ τ threshold (clustering.threshold_edges)
+    clusters → large-star/small-star connected components
+
+Each stage writes its table + lineage counters via plans.metrics.stage;
+a restarted run skips completed stages (the resume contract).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whoiswho_spark.constants import POST_MATCH_THRESHOLD
+from whoiswho_spark.functions.normalize import (
+    corpus_tokens_col,
+    extract_text_udf,
+    norm_text_col,
+    title_tokens_col,
+)
+from whoiswho_spark.operators.blocking import (
+    cap_block_size,
+    lsh_block_keys,
+    normalized_host_col,
+)
+from whoiswho_spark.operators.clustering import connected_components, threshold_edges
+from whoiswho_spark.operators.evaluation import labeled_block_view, macro_pairwise_f1
+from whoiswho_spark.operators.pairs import candidate_pairs, salted_candidate_pairs
+from whoiswho_spark.operators.scoring import score_pairs
+from whoiswho_spark.plans import metrics as M
+
+
+@dataclass
+class ERConfig:
+    num_hashes: int = 8
+    bands: int = 4
+    block_cap: int = 5000
+    n_salts: int = 0  # 0 = plain self-join (AQE handles mid skew)
+    threshold: float = POST_MATCH_THRESHOLD
+    resume: bool = True
+
+
+def extract_stage(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → payload table.
+
+    Title comes from the html via a Catalyst regexp (JVM); the contract
+    ``text`` column is re-derived from html with the reference-exact
+    pandas UDF — at scale you'd trust the stored column and sample-audit,
+    here we recompute to prove byte-identity end-to-end.
+    """
+    raw = F.col("html").cast("string")
+    title = F.regexp_extract(raw, r"(?is)<title>(.*?)</title>", 1)
+    norm_title = norm_text_col(title)
+    extracted = extract_text_udf(F.col("html"))
+    return pages.select(
+        "url",
+        title.alias("title_raw"),
+        norm_title.alias("title"),
+        extracted.alias("text"),
+        title_tokens_col(norm_title).alias("title_tokens"),
+        corpus_tokens_col(extracted).alias("text_tokens"),
+        normalized_host_col(F.col("url")).alias("host"),
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    embeddings: DataFrame,
+    workdir: str,
+    cfg: ERConfig = ERConfig(),
+    run_id: str | None = None,
+) -> DataFrame:
+    """Run all stages; returns clusters(url, cluster_id)."""
+    run_id = run_id or M.new_run_id()
+
+    payload = M.stage(
+        spark, workdir, run_id, "extract", lambda: extract_stage(pages), cfg.resume
+    )
+
+    def _blocks():
+        b = lsh_block_keys(
+            payload.select("url", "title", "host"),
+            title="title",
+            num_hashes=cfg.num_hashes,
+            bands=cfg.bands,
+        )
+        return cap_block_size(b, cfg.block_cap)
+
+    blocks = M.stage(spark, workdir, run_id, "blocks", _blocks, cfg.resume)
+
+    def _pairs():
+        pay = payload.select("url", "title", "title_tokens", "text_tokens").join(
+            embeddings.select("url", "embedding"), "url", "left"
+        ).withColumn(
+            "embedding",
+            F.coalesce("embedding", F.array([F.lit(0.0)])),
+        )
+        if cfg.n_salts > 1:
+            p = salted_candidate_pairs(blocks, cfg.n_salts, payload=pay)
+        else:
+            p = candidate_pairs(blocks, payload=pay)
+        return score_pairs(p).select(
+            "block_key",
+            "url_a",
+            "url_b",
+            "f_emb_dot",
+            "f_text_tanimoto",
+            "f_title_cos3",
+            "f_title_common",
+            "score",
+        )
+
+    pairs = M.stage(spark, workdir, run_id, "pairs", _pairs, cfg.resume)
+
+    edges = M.stage(
+        spark,
+        workdir,
+        run_id,
+        "edges",
+        lambda: threshold_edges(pairs, cfg.threshold),
+        cfg.resume,
+    )
+
+    clusters = M.stage(
+        spark,
+        workdir,
+        run_id,
+        "clusters",
+        lambda: connected_components(edges, vertices=payload.select("url")),
+        cfg.resume,
+    )
+    return clusters
+
+
+def evaluate_run(
+    spark: SparkSession, workdir: str, labels: DataFrame
+) -> float:
+    """Macro pairwise F1 of a completed run against ground-truth labels,
+    restricted to labeled pairs sharing a blocking key (the gate)."""
+    blocks = spark.read.parquet(f"{workdir}/blocks")
+    clusters = spark.read.parquet(f"{workdir}/clusters")
+    return macro_pairwise_f1(labeled_block_view(blocks, labels, clusters))
