@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (or a
+training-data-pipeline op) implemented through whoiswho_spark, with a
+matching DuckDB ``oracle_sql()`` over the same parquet views.
+
+Engine-portability rules used throughout (so value hashes match):
+- hashing: 60-bit md5 prefix — Spark ``conv(substr(md5(x),1,15),16,10)``
+  == DuckDB ``('0x' || substring(md5(x),1,15))::BIGINT`` (tested in
+  tests/test_blocking_pairs.py).
+- tokenization: split on single space, drop empties.
+- floats rounded (4-6 dp) in BOTH engines; counts cast to BIGINT.
+- every computed column aliased identically on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +18,608 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# DuckDB twin of whoiswho_spark.operators.blocking.hash60
+def _dd_hash60(expr: str, salt: str) -> str:
+    return f"cast(concat('0x', substring(md5({expr} || ':{salt}'), 1, 15)) as bigint)"
+
+
+_DD_TOKS = "list_filter(string_split(text, ' '), _tk -> len(_tk) > 0)"
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: the ER mini-pipeline over the documents table
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: block documents by (source, title-MinHash band), generate
+    within-block candidate pairs, score token overlap, threshold, and
+    cluster with large-star/small-star connected components."""
+    from whoiswho_spark.functions.similarity import tanimoto_col
+    from whoiswho_spark.operators.blocking import minhash_signature_cols
+    from whoiswho_spark.operators.clustering import connected_components
+    from whoiswho_spark.operators.dedup import tokens_col
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    sig = minhash_signature_cols(tokens_col(F.col("text")), 2)
+    blocks = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.concat_ws(
+            "|", F.col("source"), F.md5(F.concat_ws("_", *[s.cast("string") for s in sig]))
+        ).alias("block_key"),
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    )
+    a = blocks.select("block_key", F.col("url").alias("url_a"), F.col("toks").alias("toks_a"))
+    b = blocks.select("block_key", F.col("url").alias("url_b"), F.col("toks").alias("toks_b"))
+    pairs = (
+        a.join(b, "block_key")
+        .where(F.col("url_a") < F.col("url_b"))
+        .select(
+            "url_a", "url_b",
+            tanimoto_col(F.col("toks_a"), F.col("toks_b")).alias("score"),
+        )
+    )
+    edges = pairs.where(F.col("score") >= 0.5).select(
+        F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+    )
+    return connected_components(edges, vertices=blocks.select("url").distinct())
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def _q_block_stats(spark, sf):
+    """Blocking group-by (SURVEY §2.3): block census over documents."""
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+def _q_candidate_pair_counts(spark, sf):
+    """Quadratic-blowup census: C(n,2) per block (the pre-join planning
+    stat that drives salting)."""
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .select(
+            "source",
+            "n_docs",
+            (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("bigint").alias("n_pairs"),
+        )
+    )
+
+
+def _q_minhash_signatures(spark, sf):
+    """Deterministic MinHash signatures (SURVEY §4 custom-work #2)."""
+    from whoiswho_spark.operators.dedup import minhash_table
+
+    return minhash_table(_t(spark, sf, "documents"), num_hashes=4)
+
+
+def _q_lsh_band_buckets(spark, sf):
+    """LSH banding over minhash signatures → (doc, band, bucket)."""
+    from whoiswho_spark.operators.dedup import minhash_band_buckets
+
+    return minhash_band_buckets(_t(spark, sf, "documents"))
+
+
+def _q_minhash_dup_candidates(spark, sf):
+    """shingle→minhash→band→bucket-join candidate pairs."""
+    from whoiswho_spark.operators.dedup import minhash_dup_pairs
+
+    return minhash_dup_pairs(_t(spark, sf, "documents"))
+
+
+def _q_exact_dedup(spark, sf):
+    from whoiswho_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+def _q_ngram_jaccard_pairs(spark, sf):
+    """Within-block token-set Jaccard ≥ 0.5 (AutoTrainSND.py:24-32
+    tanimoto semantics)."""
+    from whoiswho_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), block_col="source")
+
+
+def _q_embedding_neardup(spark, sf):
+    """Embedding-cosine near-dup pairs (SBERT-style dot products); τ=0.35
+    sits in the upper tail of this testdata's cosine distribution."""
+    from whoiswho_spark.operators.ann import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.35
+    )
+
+
+def _q_ann_topk(spark, sf):
+    """Brute-force cosine top-5 for the first 10 vectors (ANN baseline)."""
+    from whoiswho_spark.operators.ann import brute_force_topk
+
+    vecs = _t(spark, sf, "embeddings")
+    return brute_force_topk(vecs.where(F.col("vec_id") < 10), vecs, k=5)
+
+
+def _q_top1_threshold(spark, sf):
+    """RND top-1-with-NIL-threshold (AutoTrainRND.py:52-71) retargeted:
+    best order per customer, kept if totalprice ≥ 100."""
+    from whoiswho_spark.operators.rnd import top1_assign
+
+    return top1_assign(
+        _t(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        item_col="o_custkey",
+        cand_col="o_orderkey",
+        score_col="o_totalprice",
+        threshold=100.0,
+    )
+
+
+def _q_ordered_split(spark, sf):
+    """Year-ordered ntile split (data_process.py:323-368)."""
+    from whoiswho_spark.operators.rnd import ordered_split
+
+    return ordered_split(
+        _t(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderdate"),
+        part_col="o_custkey",
+        order_col="o_orderdate",
+        tiebreak_col="o_orderkey",
+        n_buckets=5,
+    ).select("o_custkey", "o_orderkey", "bucket")
+
+
+def _q_kfold(spark, sf):
+    """k-fold hashing (data_process.py:535-576) — fold census."""
+    from whoiswho_spark.operators.rnd import kfold_col
+
+    return (
+        _t(spark, sf, "customer")
+        .select(kfold_col(F.col("c_custkey"), 5).alias("fold"))
+        .groupBy("fold")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def _q_deterministic_sample(spark, sf):
+    """Per-key capped hash-order sampling (negative sampling / paper caps)."""
+    from whoiswho_spark.operators.rnd import deterministic_sample
+
+    return deterministic_sample(
+        _t(spark, sf, "orders").select("o_custkey", "o_orderkey"),
+        part_col="o_custkey",
+        id_col="o_orderkey",
+        n_per_part=3,
+    )
+
+
+def _q_pairwise_f1(spark, sf):
+    """The reference pairwise P/R/F1 (SNDeval.py:47-70) as pure
+    aggregations: truth = embeddings.label, pred = hash-perturbed label,
+    one global block."""
+    from whoiswho_spark.operators.blocking import hash60
+    from whoiswho_spark.operators.evaluation import pairwise_scores_per_block
+
+    e = _t(spark, sf, "embeddings").select(
+        F.lit("all").alias("block_key"),
+        F.col("vec_id").cast("string").alias("url"),
+        F.col("label").alias("truth"),
+        F.when(
+            F.pmod(hash60(F.col("vec_id").cast("string"), "perturb"), F.lit(10)) < 1,
+            F.pmod(F.col("label") + 1, F.lit(10)),
+        )
+        .otherwise(F.col("label"))
+        .alias("pred"),
+    )
+    s = pairwise_scores_per_block(e)
+    return s.select(
+        "block_key",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+def _q_lineitem_pricing_summary(spark, sf):
+    """TPC-H Q1-shape aggregation (scan→filter→agg pushdown check)."""
+    li = _t(spark, sf, "lineitem")
+    dec = lambda c: F.round(F.col(c), 4).cast("decimal(18,4)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def _q_revenue_by_nation(spark, sf):
+    """3-way join (orders ⋈ customer ⋈ broadcast nation) + agg."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice"), 4).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+def _q_window_topk(spark, sf):
+    """Top-3 orders per customer (window ranking, SURVEY §2.6)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("price"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )
+
+
+def _q_token_stats(spark, sf):
+    """Token counting (whitespace + BPE-ish regex proxy)."""
+    from whoiswho_spark.functions.textstats import (
+        bpeish_token_count_col,
+        token_count_col,
+    )
+
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        bpeish_token_count_col(F.col("text")).alias("n_pieces"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+def _q_stopword_ratio(spark, sf):
+    """Language-marker ratio (the language-ID heuristic's core signal)."""
+    from whoiswho_spark.functions.textstats import stopword_ratio_col
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.round(stopword_ratio_col(F.col("text")), 6).alias("en_ratio")
+    )
+
+
+def _q_quality_score(spark, sf):
+    from whoiswho_spark.functions.textstats import quality_score_col
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", quality_score_col(F.col("text")).alias("quality")
+    )
+
+
+def _q_fingerprint(spark, sf):
+    from whoiswho_spark.functions.textstats import fingerprint_col
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
+    )
+
+
+def _q_events_hourly(spark, sf):
+    """Windowed (tumbling-hour) event aggregation — the batch twin of the
+    streaming path (SURVEY §2.11: reference is batch-only)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("HOUR", F.col("ts")), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+def _q_simhash_pairs(spark, sf):
+    """SimHash near-dups (pandas UDF; no SQL oracle — rows-only check)."""
+    from whoiswho_spark.operators.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(
+        _t(spark, sf, "documents"), block_col="source", max_hamming=16
+    )
+
+
+def _q_media_meta(spark, sf):
+    """Multimodal plumbing: text→BINARY payload → mapInPandas metadata
+    (decode stubbed; schema/batch shape real). No SQL oracle for the
+    mapInPandas stage — rows-only check."""
+    from whoiswho_spark.operators.multimodal import extract_media_meta
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return extract_media_meta(docs)
+
+
+def _q_lsh_ann_topk(spark, sf):
+    """LSH-bucketed ANN (scale path; approximate — rows-only check)."""
+    from whoiswho_spark.operators.ann import lsh_bucketed_topk
+
+    vecs = _t(spark, sf, "embeddings")
+    return lsh_bucketed_topk(
+        vecs.where(F.col("vec_id") < 10), vecs, dim=64, k=5, n_planes=4
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "block_stats": _q_block_stats,
+        "candidate_pair_counts": _q_candidate_pair_counts,
+        "minhash_signatures": _q_minhash_signatures,
+        "lsh_band_buckets": _q_lsh_band_buckets,
+        "minhash_dup_candidates": _q_minhash_dup_candidates,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_topk": _q_ann_topk,
+        "top1_threshold": _q_top1_threshold,
+        "ordered_split": _q_ordered_split,
+        "kfold": _q_kfold,
+        "deterministic_sample": _q_deterministic_sample,
+        "pairwise_f1": _q_pairwise_f1,
+        "lineitem_pricing_summary": _q_lineitem_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "window_topk": _q_window_topk,
+        "token_stats": _q_token_stats,
+        "stopword_ratio": _q_stopword_ratio,
+        "quality_score": _q_quality_score,
+        "fingerprint": _q_fingerprint,
+        "events_hourly": _q_events_hourly,
+        "simhash_pairs": _q_simhash_pairs,
+        "media_meta": _q_media_meta,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    h = _dd_hash60
+    toks = _DD_TOKS
+    stop17 = (
+        "['at','based','in','of','for','on','and','to','an','using','with',"
+        "'the','by','we','be','is','are','can']"
+    )
+    minhash_sig = ", ".join(
+        f"list_min(list_transform({toks}, _tk -> {h('_tk', str(k))})) as h{k}"
+        for k in range(4)
+    )
+    return {
+        "block_stats": """
+            select source, lang,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(n_chars) as bigint) as total_chars
+            from documents group by source, lang
+        """,
+        "candidate_pair_counts": """
+            select source,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(count(*) * (count(*) - 1) / 2 as bigint) as n_pairs
+            from documents group by source
+        """,
+        "minhash_signatures": f"""
+            select doc_id, {minhash_sig} from documents
+        """,
+        "lsh_band_buckets": f"""
+            with sig as (select doc_id, {minhash_sig} from documents)
+            select doc_id, band, bucket from (
+                select doc_id, 0 as band,
+                       md5(cast(h0 as varchar) || '_' || cast(h1 as varchar)) as bucket
+                from sig
+                union all
+                select doc_id, 1 as band,
+                       md5(cast(h2 as varchar) || '_' || cast(h3 as varchar)) as bucket
+                from sig)
+        """,
+        "minhash_dup_candidates": f"""
+            with sig as (select doc_id, {minhash_sig} from documents),
+            bk as (
+                select doc_id, 0 as band,
+                       md5(cast(h0 as varchar) || '_' || cast(h1 as varchar)) as bucket
+                from sig
+                union all
+                select doc_id, 1 as band,
+                       md5(cast(h2 as varchar) || '_' || cast(h3 as varchar)) as bucket
+                from sig)
+            select distinct a.doc_id as id_a, b.doc_id as id_b
+            from bk a join bk b on a.band = b.band and a.bucket = b.bucket
+            where a.doc_id < b.doc_id
+        """,
+        "exact_dedup": """
+            select md5(text) as text_hash,
+                   min(doc_id) as keep_id,
+                   cast(count(*) as bigint) as n_dups
+            from documents group by md5(text)
+        """,
+        "ngram_jaccard_pairs": f"""
+            with t as (
+                select source as block, doc_id,
+                       list_distinct({toks}) as toks
+                from documents)
+            select a.block, a.doc_id as id_a, b.doc_id as id_b,
+                   round(
+                     len(list_intersect(a.toks, b.toks))::double /
+                     (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+                     6) as jaccard
+            from t a join t b on a.block = b.block and a.doc_id < b.doc_id
+            where round(
+                     len(list_intersect(a.toks, b.toks))::double /
+                     (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+                     6) >= 0.5
+        """,
+        "embedding_neardup": """
+            select a.vec_id as id_a, b.vec_id as id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) as cos
+            from embeddings a join embeddings b on a.vec_id < b.vec_id
+            where round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+        """,
+        "ann_topk": """
+            with scored as (
+                select q.vec_id as query_id, c.vec_id as neighbor_id,
+                       round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) as cos
+                from embeddings q join embeddings c on q.vec_id != c.vec_id
+                where q.vec_id < 10)
+            select query_id, neighbor_id, cos,
+                   cast(rk as int) as rank
+            from (select *, row_number() over
+                     (partition by query_id order by cos desc, neighbor_id asc) as rk
+                  from scored)
+            where rk <= 5
+        """,
+        "top1_threshold": """
+            select o_custkey, o_orderkey, o_totalprice from (
+                select o_custkey, o_orderkey, o_totalprice,
+                       row_number() over (partition by o_custkey
+                           order by o_totalprice desc, o_orderkey asc) as rn
+                from orders)
+            where rn = 1 and o_totalprice >= 100.0
+        """,
+        "ordered_split": """
+            select o_custkey, o_orderkey,
+                   cast(ntile(5) over (partition by o_custkey
+                        order by o_orderdate asc, o_orderkey asc) as int) as bucket
+            from orders
+        """,
+        "kfold": f"""
+            select cast({h("cast(c_custkey as varchar)", "kfold")} % 5 as int) as fold,
+                   cast(count(*) as bigint) as n
+            from customer group by 1
+        """,
+        "deterministic_sample": f"""
+            select o_custkey, o_orderkey from (
+                select o_custkey, o_orderkey,
+                       row_number() over (partition by o_custkey
+                           order by {h("cast(o_orderkey as varchar)", "negs")} asc,
+                                    o_orderkey asc) as rn
+                from orders)
+            where rn <= 3
+        """,
+        "pairwise_f1": f"""
+            with lab as (
+                select 'all' as block_key, cast(vec_id as varchar) as url,
+                       label as truth,
+                       case when {h("cast(vec_id as varchar)", "perturb")} % 10 < 1
+                            then (label + 1) % 10 else label end as pred
+                from embeddings),
+            tp_fn as (select block_key, sum(n * (n - 1) / 2.0) as tp_fn
+                      from (select block_key, truth, count(*) as n
+                            from lab group by 1, 2) group by 1),
+            tp_fp as (select block_key, sum(n * (n - 1) / 2.0) as tp_fp
+                      from (select block_key, pred, count(*) as n
+                            from lab group by 1, 2) group by 1),
+            tp as (select block_key, sum(n * (n - 1) / 2.0) as tp
+                   from (select block_key, truth, pred, count(*) as n
+                         from lab group by 1, 2, 3) group by 1)
+            select f.block_key,
+                   round(case when tp = 0 then 0.0 else tp / tp_fp end, 6) as precision,
+                   round(case when tp = 0 then 0.0 else tp / tp_fn end, 6) as recall,
+                   round(case when tp = 0 then 0.0
+                         else 2 * (tp / tp_fp) * (tp / tp_fn) / ((tp / tp_fp) + (tp / tp_fn))
+                         end, 6) as f1
+            from tp_fn f join tp_fp p using (block_key) join tp using (block_key)
+            where f.tp_fn > 0
+        """,
+        "lineitem_pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   cast(sum(cast(round(l_quantity, 4) as decimal(18,4))) as double) as sum_qty,
+                   cast(sum(cast(round(l_extendedprice, 4) as decimal(18,4))) as double) as sum_base_price,
+                   cast(count(*) as bigint) as count_order
+            from lineitem
+            where l_shipdate <= timestamp '1998-09-02 00:00:00'
+            group by l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            select n_name,
+                   cast(sum(cast(round(o_totalprice, 4) as decimal(18,4))) as double) as revenue,
+                   cast(count(*) as bigint) as n_orders
+            from orders join customer on o_custkey = c_custkey
+                        join nation on c_nationkey = n_nationkey
+            group by n_name
+        """,
+        "window_topk": """
+            select o_custkey, o_orderkey, round(o_totalprice, 4) as price,
+                   cast(rk as int) as rk
+            from (select o_custkey, o_orderkey, o_totalprice,
+                         row_number() over (partition by o_custkey
+                             order by o_totalprice desc, o_orderkey asc) as rk
+                  from orders)
+            where rk <= 3
+        """,
+        "token_stats": f"""
+            select doc_id,
+                   cast(len({toks}) as bigint) as n_tokens,
+                   cast(len(regexp_extract_all(text,
+                        '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) as bigint) as n_pieces,
+                   cast(len(text) as bigint) as n_chars_actual
+            from documents
+        """,
+        "stopword_ratio": f"""
+            select doc_id,
+                   round(case when len({toks}) > 0
+                         then len(list_filter({toks},
+                                  _tk -> list_contains({stop17}, _tk)))::double
+                              / len({toks})
+                         else 0.0 end, 6) as en_ratio
+            from documents
+        """,
+        "quality_score": f"""
+            with s as (
+                select doc_id,
+                       len({toks}) as n_toks,
+                       len(list_distinct({toks})) as n_dist,
+                       len(list_filter({toks},
+                           _tk -> list_contains({stop17}, _tk))) as n_stop
+                from documents)
+            select doc_id,
+                   round(0.4 * least(1.0, n_toks / 100.0)
+                       + 0.3 * (case when n_toks > 0 then n_dist::double / n_toks else 0.0 end)
+                       + 0.3 * (1.0 - abs((case when n_toks > 0
+                                     then n_stop::double / n_toks else 0.0 end) - 0.4)),
+                       6) as quality
+            from s
+        """,
+        "fingerprint": f"""
+            select doc_id, {h("text", "fp")} as fingerprint from documents
+        """,
+        "events_hourly": """
+            select strftime(date_trunc('hour', ts), '%Y-%m-%d %H') as hour,
+                   event_type,
+                   cast(count(*) as bigint) as n_events,
+                   cast(sum(cast(round(value, 4) as decimal(18,4))) as double) as total_value
+            from events group by 1, 2
+        """,
+        # simhash_pairs, media_meta, lsh_ann_topk: no SQL oracle
+        # (pandas-UDF bit math / mapInPandas / approximate) → rows-only.
+    }

@@ -1,0 +1,129 @@
+"""Dedup / ANN / text-stats / RND operators against independent oracles."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from whoiswho_spark.operators.ann import brute_force_topk, lsh_bucketed_topk
+from whoiswho_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from whoiswho_spark.operators.multimodal import extract_media_meta
+from whoiswho_spark.operators.rnd import (
+    deterministic_sample,
+    ordered_split,
+    top1_assign,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta", "s1"),
+        (2, "alpha beta gamma delta", "s1"),     # exact dup of 1
+        (3, "alpha beta gamma epsilon", "s1"),   # near dup of 1
+        (4, "totally different words here", "s1"),
+        (5, "alpha beta gamma delta", "s2"),     # exact dup, other block
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_exact_dedup(spark):
+    got = {r["keep_id"]: r["n_dups"] for r in exact_dedup(_docs(spark)).collect()}
+    assert got[1] == 3  # docs 1,2,5 share text
+    assert got[3] == 1 and got[4] == 1
+
+
+def test_minhash_dup_pairs_finds_exact_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_dup_pairs(_docs(spark)).collect()}
+    assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_pairs(spark):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), "source", threshold=0.5).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert abs(got[(1, 3)] - 3 / 5) < 1e-9  # |∩|=3, |∪|=5
+    assert (1, 4) not in got  # jaccard 0
+    assert (1, 5) not in got  # different block
+
+
+def test_simhash_exact_dups_distance_zero(spark):
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_dup_pairs(_docs(spark), "source", max_hamming=64).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] <= got[(1, 4)]  # near-dup closer than unrelated
+
+
+def test_brute_force_topk_vs_numpy(spark):
+    rs = np.random.RandomState(0)
+    vecs = rs.randn(20, 8)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = brute_force_topk(df.where("vec_id < 3"), df, k=4).collect()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(3):
+        order = sorted(
+            (i for i in range(20) if i != q),
+            key=lambda i: (-round(sims[q, i], 6), i),
+        )[:4]
+        mine = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == q]
+        assert mine == order, q
+
+
+def test_lsh_topk_same_bucket_recall(spark):
+    # identical vectors land in the same bucket and find each other
+    base = [float(x) for x in np.arange(8) / 10.0]
+    df = spark.createDataFrame(
+        [(i, base) for i in range(5)], "vec_id bigint, embedding array<double>"
+    )
+    got = lsh_bucketed_topk(df.where("vec_id = 0"), df, dim=8, k=4, n_planes=4).collect()
+    assert {r["neighbor_id"] for r in got} == {1, 2, 3, 4}
+
+
+def test_top1_assign_threshold_and_ties(spark):
+    scored = spark.createDataFrame(
+        [("i1", "c1", 0.9), ("i1", "c2", 0.9), ("i2", "c3", 0.4)],
+        "item string, cand string, score double",
+    )
+    got = {r["item"]: r["cand"] for r in top1_assign(scored, "item", "cand", threshold=0.65).collect()}
+    assert got == {"i1": "c1"}  # tie → min cand; i2 below threshold → NIL
+
+
+def test_ordered_split_buckets(spark):
+    rows = [("a", i, f"2020-01-{i + 1:02d}") for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, id int, d string")
+    got = {r["id"]: r["bucket"] for r in ordered_split(df, "k", "d", "id", 5).collect()}
+    assert [got[i] for i in range(10)] == [1, 1, 2, 2, 3, 3, 4, 4, 5, 5]
+
+
+def test_deterministic_sample_stable(spark):
+    df = spark.createDataFrame(
+        [("k", i) for i in range(50)], "part string, id int"
+    )
+    a = sorted(r["id"] for r in deterministic_sample(df, "part", "id", 5).collect())
+    b = sorted(r["id"] for r in deterministic_sample(df, "part", "id", 5).collect())
+    assert a == b and len(a) == 5
+
+
+def test_media_meta_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, bytearray(b"payload-one")), (2, bytearray(b""))],
+        "doc_id bigint, payload binary",
+    )
+    got = {r["doc_id"]: r for r in extract_media_meta(docs).collect()}
+    assert got[1]["n_bytes"] == 11 and got[2]["n_bytes"] == 0
+    assert got[1]["media_type"] == "image/fake"
+    assert 64 <= got[1]["width"] < 2048
+    import hashlib
+
+    assert got[1]["checksum"] == hashlib.md5(b"payload-one").hexdigest()

@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k (exact). Scale path: LSH-bucketed
+(random-hyperplane signs, deterministic seeded planes) so candidate
+generation shuffles on a bucket key instead of replicating the corpus to
+every query. The reference's analog is the per-block dense cosine matrix
+(/root/reference/whoiswho/featureGenerator/sndFeature/
+semantic_features.py:149-156) — which cannot exist at 10^12 rows; these
+operators are the sparse re-expression.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+from pyspark.sql.window import Window
+
+from whoiswho_spark.functions.similarity import cosine_col
+
+
+@pandas_udf(DoubleType())
+def cosine_batch_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """One numpy matmul per Arrow batch — the fast path for 64+ dim
+    embeddings (element-wise Catalyst aggregate walks arrays ~10× slower)."""
+    ma = np.asarray([np.asarray(v, dtype=np.float64) for v in a])
+    mb = np.asarray([np.asarray(v, dtype=np.float64) for v in b])
+    na = np.maximum(np.linalg.norm(ma, axis=1), 1e-12)
+    nb = np.maximum(np.linalg.norm(mb, axis=1), 1e-12)
+    return pd.Series((ma * mb).sum(axis=1) / (na * nb))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    use_catalyst_cosine: bool = False,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank) exact top-k by cosine.
+
+    Cross-join then window top-k; Catalyst broadcasts the smaller side.
+    Ranking uses round(cos, 6) with id tie-break so results are stable
+    across engines and runs. Exact baseline — quadratic by design; use
+    lsh_bucketed_topk at scale.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb")
+    )
+    cos = (
+        cosine_col(F.col("q_emb"), F.col("c_emb"))
+        if use_catalyst_cosine
+        else cosine_batch_udf(F.col("q_emb"), F.col("c_emb"))
+    )
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rs = np.random.RandomState(seed)
+    return rs.randn(n_planes, dim).tolist()
+
+
+def lsh_bucket_col(emb, planes: list[list[float]]):
+    """Sign-bucket: bit b = 1 iff emb·plane_b > 0 — pure Catalyst (dot via
+    zip_with/aggregate over broadcast plane literals)."""
+    bits = []
+    for p in planes:
+        dot = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: join only within matching sign-buckets (the IVF/
+    LSH scale path — shuffle on bucket, corpus never replicated). Recall
+    is tunable via n_planes (fewer planes → bigger buckets → higher
+    recall, more compute)."""
+    planes = _hyperplanes(dim, n_planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        lsh_bucket_col(F.col(emb_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        lsh_bucket_col(F.col(emb_col), planes).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_batch_udf(F.col("q_emb"), F.col("c_emb")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 0,
+    dim: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, cos) pairs with cosine ≥ threshold.
+
+    n_planes=0 → exact all-pairs (test scale); n_planes>0 → LSH-bucketed
+    (near-dups almost surely share the sign bucket at high thresholds).
+    """
+    if n_planes > 0:
+        planes = _hyperplanes(dim, n_planes)
+        v = vectors.select(
+            F.col(id_col),
+            F.col(emb_col),
+            lsh_bucket_col(F.col(emb_col), planes).alias("bucket"),
+        )
+        join_keys = ["bucket"]
+    else:
+        v = vectors.select(F.col(id_col), F.col(emb_col), F.lit(0).alias("bucket"))
+        join_keys = ["bucket"]
+    a = v.select(
+        *join_keys, F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a")
+    )
+    b = v.select(
+        *join_keys, F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b")
+    )
+    return (
+        a.join(b, join_keys)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_batch_udf(F.col("emb_a"), F.col("emb_b")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

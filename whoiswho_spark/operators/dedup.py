@@ -1,0 +1,193 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's `.distinct()`-style dedup (SURVEY.md §2.5 'Dedup'),
+these are the large-corpus near-dup family a 100 TB text pipeline needs.
+All hot paths are Catalyst exprs or Arrow-batched pandas UDFs; every
+shuffle is on a bounded key (hash / block / band bucket), never all-pairs.
+
+- exact:        groupBy(md5(text)) — one shuffle on the hash.
+- MinHash/LSH:  token minhash signatures (engine-portable md5 hash
+  family, blocking.hash60) → band buckets → candidate pairs only within
+  buckets (shingle→minhash→band→bucket-join).
+- n-gram Jaccard: within-block pair Jaccard on token sets — exact
+  verification stage after LSH candidates.
+- SimHash:      64-bit simhash in a vectorized pandas UDF; near-dups =
+  hamming distance ≤ k within buckets of the top bits.
+- embedding cosine: see operators/ann.py (same kernel).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from whoiswho_spark.functions.similarity import tanimoto_col
+from whoiswho_spark.operators.blocking import hash60, minhash_signature_cols
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One winner (min id) per identical text; (text_hash, keep_id, n_dups).
+
+    The 100 TB plan: shuffle on md5 only — text itself never moves (the
+    hash is computed map-side, the group carries two small columns).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("bigint").alias("n_dups"),
+        )
+    )
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens, empties dropped — the shared tokenizer for the
+    dedup family (must stay portable to the DuckDB oracle)."""
+    return F.filter(F.split(text, " "), lambda _tk: F.length(_tk) > 0)
+
+
+def minhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 4
+) -> DataFrame:
+    """(id, h0..h{k-1}) minhash signature per document."""
+    sig = minhash_signature_cols(tokens_col(F.col(text_col)), num_hashes)
+    return df.select(
+        F.col(id_col), *[s.alias(f"h{i}") for i, s in enumerate(sig)]
+    )
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, band, bucket) — LSH banding over the signature; same bucket ⇒
+    candidate duplicate pair."""
+    sig = minhash_signature_cols(tokens_col(F.col(text_col)), num_hashes)
+    bands = []
+    for b in range(num_hashes // rows_per_band):
+        parts = sig[b * rows_per_band : (b + 1) * rows_per_band]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *[p.cast("string") for p in parts])).alias(
+                    "bucket"
+                ),
+            )
+        )
+    return df.select(F.col(id_col), F.explode(F.array(*bands)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Candidate dup pairs from shared LSH buckets (deduped across bands)."""
+    bk = minhash_band_buckets(df, text_col, id_col, num_hashes, rows_per_band)
+    a = bk.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
+    )
+    b = bk.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Within-block pairs with token-SET Jaccard ≥ threshold →
+    (block, id_a, id_b, jaccard). The exact-verify stage; block first so
+    the join never goes quadratic globally."""
+    t = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col),
+        F.array_distinct(tokens_col(F.col(text_col))).alias("toks"),
+    )
+    a = t.select("block", F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    b = t.select("block", F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    return (
+        a.join(b, "block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "block",
+            "id_a",
+            "id_b",
+            F.round(tanimoto_col(F.col("toks_a"), F.col("toks_b")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+@pandas_udf(LongType())
+def simhash64_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (md5-derived per-token 64-bit
+    fingerprints, unweighted). Arrow-batched; numpy bit-count inner loop."""
+    import hashlib
+
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, s in enumerate(text.fillna("")):
+        toks = [t for t in s.split(" ") if t]
+        if not toks:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            digest = hashlib.md5(t.encode()).digest()[:8]
+            bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8)).astype(np.int64)
+            acc += 2 * bits - 1
+        val = 0
+        for b in range(64):
+            if acc[b] > 0:
+                val |= 1 << b
+        # two's-complement into int64
+        out[i] = val - (1 << 64) if val >= (1 << 63) else val
+    return pd.Series(out)
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ k within blocks.
+
+    At scale the block would be the top-16-bits bucket (multi-probe);
+    here the caller's block key bounds the join the same way.
+    """
+    s = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col),
+        simhash64_udf(F.col(text_col)).alias("sh"),
+    )
+    a = s.select("block", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = s.select("block", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, "block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("block", "id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
