@@ -142,20 +142,23 @@ def _q_ngram_jaccard_pairs(spark, sf):
 
 def _q_embedding_neardup(spark, sf):
     """Embedding-cosine near-dup pairs (SBERT-style dot products); τ=0.35
-    sits in the upper tail of this testdata's cosine distribution."""
-    from whoiswho_spark.operators.ann import embedding_neardup_pairs
+    sits in the upper tail of this testdata's cosine distribution.
+    BLAS broadcast-matmul plan (result-identical to the join plan,
+    tests/test_dedup_ann_textstats.py)."""
+    from whoiswho_spark.operators.ann import embedding_neardup_pairs_blas
 
-    return embedding_neardup_pairs(
+    return embedding_neardup_pairs_blas(
         _t(spark, sf, "embeddings"), threshold=0.35
     )
 
 
 def _q_ann_topk(spark, sf):
-    """Brute-force cosine top-5 for the first 10 vectors (ANN baseline)."""
-    from whoiswho_spark.operators.ann import brute_force_topk
+    """Exact cosine top-5 for the first 10 vectors — broadcast-matmul
+    kernel (ANN baseline)."""
+    from whoiswho_spark.operators.ann import brute_force_topk_blas
 
     vecs = _t(spark, sf, "embeddings")
-    return brute_force_topk(vecs.where(F.col("vec_id") < 10), vecs, k=5)
+    return brute_force_topk_blas(vecs.where(F.col("vec_id") < 10), vecs, k=5)
 
 
 def _q_top1_threshold(spark, sf):
@@ -375,6 +378,131 @@ def _q_lsh_ann_topk(spark, sf):
     )
 
 
+def _q_lang_id(spark, sf):
+    """Heuristic language ID over marker-word ratios."""
+    from whoiswho_spark.functions.textstats import lang_id_col
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", lang_id_col(F.col("text")).alias("lang_pred")
+    )
+
+
+def _q_idf_table(spark, sf):
+    """IDF dictionary builder (the analog of the reference's precomputed
+    idf JSONs, feature_process.py:34-43)."""
+    from whoiswho_spark.functions.hand_features import build_idf_table
+    from whoiswho_spark.operators.dedup import tokens_col
+
+    docs = _t(spark, sf, "documents").select(tokens_col(F.col("text")).alias("tokens"))
+    return build_idf_table(docs)
+
+
+def _q_stacking_features(spark, sf):
+    """lv2 stacking score features (ClassficationModels.py:284-295) over
+    per-customer order scores."""
+    from whoiswho_spark.operators.rnd_eval import stacking_features
+
+    scored = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("pid"),
+        F.col("o_orderkey").alias("aid"),
+        F.round("o_totalprice", 2).alias("score"),
+    )
+    out = stacking_features(scored)
+    return out.select(
+        "pid",
+        "aid",
+        "score",
+        F.round("max_score", 5).alias("max_score"),
+        F.round("mean_score", 5).alias("mean_score"),
+        "gap_over_mean",
+        "gap_over_range",
+    )
+
+
+def _q_rnd_author_prf(spark, sf):
+    """Per-author precision/recall components of the RND weighted F1
+    (RNDeval.py:13-25): truth = customer's orders; pred = hash-perturbed
+    assignment (10% of orders assigned to the next customer)."""
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("aid"), F.col("o_orderkey").alias("pid")
+    )
+    from whoiswho_spark.operators.blocking import hash60
+
+    pred = o.select(
+        F.when(
+            F.pmod(hash60(F.col("pid").cast("string"), "rndperturb"), F.lit(10)) < 1,
+            F.col("aid") + 1,
+        )
+        .otherwise(F.col("aid"))
+        .alias("aid"),
+        "pid",
+    )
+    gt = o.groupBy("aid").agg(F.count("*").alias("n_gt"))
+    pr = pred.groupBy("aid").agg(F.count("*").alias("n_pred"))
+    inter = o.join(pred, ["aid", "pid"]).groupBy("aid").agg(F.count("*").alias("n_inter"))
+    return (
+        gt.join(pr, "aid", "left")
+        .join(inter, "aid", "left")
+        .select(
+            "aid",
+            F.col("n_gt").cast("bigint").alias("n_gt"),
+            F.round(
+                F.coalesce("n_inter", F.lit(0))
+                / F.greatest(F.coalesce("n_pred", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("precision"),
+            F.round(F.coalesce("n_inter", F.lit(0)) / F.greatest("n_gt", F.lit(1)), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def _q_year_sorted_profiles(spark, sf):
+    """Profile papers ordered newest-first (data_process.py:462-464,
+    sort_array(collect_list(struct)) form) — orders per customer sorted by
+    date desc, emitted as a comma-joined id string (portable to the
+    string_agg oracle)."""
+    o = _t(spark, sf, "orders")
+    lst = F.sort_array(
+        F.collect_list(F.struct(F.col("o_orderdate"), F.col("o_orderkey"))),
+        asc=False,
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(lst.alias("_l"))
+        .select(
+            "o_custkey",
+            F.array_join(
+                F.transform(F.col("_l"), lambda s: s["o_orderkey"].cast("string")), ","
+            ).alias("orderkeys_desc"),
+        )
+    )
+
+
+def _q_knrm_features(spark, sf):
+    """KNRM Gaussian-kernel pooling (model.py:103-135, 202-241) over
+    singleton embedding sets per pair — rows-only (41-dim kernel math is
+    not reasonably SQL-expressible)."""
+    from whoiswho_spark.functions.similarity import knrm_udf
+
+    v = _t(spark, sf, "embeddings")
+    a = v.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("id_a"), F.array(F.col("embedding")).alias("set_a")
+    )
+    b = v.where((F.col("vec_id") >= 20) & (F.col("vec_id") < 40)).select(
+        F.col("vec_id").alias("id_b"), F.array(F.col("embedding")).alias("set_b")
+    )
+    return (
+        a.crossJoin(b)
+        .select(
+            "id_a", "id_b", knrm_udf(F.col("set_a"), F.col("set_b")).alias("knrm")
+        )
+        .select("id_a", "id_b", F.size("knrm").alias("knrm_dim"),
+                F.round(F.element_at("knrm", 1), 6).alias("k0"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "block_stats": _q_block_stats,
@@ -402,6 +530,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "media_meta": _q_media_meta,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "lang_id": _q_lang_id,
+        "idf_table": _q_idf_table,
+        "stacking_features": _q_stacking_features,
+        "rnd_author_prf": _q_rnd_author_prf,
+        "year_sorted_profiles": _q_year_sorted_profiles,
+        "knrm_features": _q_knrm_features,
     }
 
 
@@ -620,6 +754,85 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cast(round(value, 4) as decimal(18,4))) as double) as total_value
             from events group by 1, 2
         """,
-        # simhash_pairs, media_meta, lsh_ann_topk: no SQL oracle
-        # (pandas-UDF bit math / mapInPandas / approximate) → rows-only.
+        "lang_id": f"""
+            with r as (
+                select doc_id,
+                       case when len({toks}) > 0
+                            then len(list_filter({toks}, _tk -> list_contains({stop17}, _tk)))::double / len({toks})
+                            else 0.0 end as r_en,
+                       case when len({toks}) > 0
+                            then len(list_filter({toks}, _tk -> list_contains(
+                                ['der','die','das','und','ist','nicht','mit','ein','eine','zu'], _tk)))::double / len({toks})
+                            else 0.0 end as r_de,
+                       case when len({toks}) > 0
+                            then len(list_filter({toks}, _tk -> list_contains(
+                                ['le','la','les','et','est','une','pas','pour','que','dans'], _tk)))::double / len({toks})
+                            else 0.0 end as r_fr
+                from documents)
+            select doc_id,
+                   case when r_en >= r_de and r_en >= r_fr and r_en > 0.08 then 'en'
+                        when r_de >= r_fr and r_de > 0.08 then 'de'
+                        when r_fr > 0.08 then 'fr'
+                        else 'und' end as lang_pred
+            from r
+        """,
+        "idf_table": f"""
+            with docs as (select list_distinct({toks}) as toks from documents),
+            n as (select count(*) as n_docs from documents),
+            df as (select unnest(toks) as token from docs)
+            select token, round(ln((select n_docs from n)::double / count(*)), 6) as idf
+            from df group by token
+        """,
+        "stacking_features": """
+            with scored as (
+                select o_custkey as pid, o_orderkey as aid,
+                       round(o_totalprice, 2) as score
+                from orders),
+            w as (
+                select pid, aid, score,
+                       max(score) over (partition by pid) as mx,
+                       min(score) over (partition by pid) as mn,
+                       avg(score) over (partition by pid) as mean_raw,
+                       count(*) over (partition by pid) as n_cand,
+                       max(case when rk = 2 then score end) over (partition by pid) as second
+                from (select *, row_number() over
+                        (partition by pid order by score desc) as rk from scored))
+            select pid, aid, score,
+                   round(mx, 5) as max_score,
+                   round(case when n_cand = 1 then mx else mean_raw end, 5) as mean_score,
+                   case when n_cand = 1 then 0.0
+                        else round((mx - second) / (1e-8 + mx - mean_raw), 5) end as gap_over_mean,
+                   case when n_cand = 1 then 0.0
+                        else round((mx - second) / (1e-8 + mx - mn), 5) end as gap_over_range
+            from w
+        """,
+        "rnd_author_prf": f"""
+            with o as (select o_custkey as aid, o_orderkey as pid from orders),
+            pred as (
+                select case when {h("cast(pid as varchar)", "rndperturb")} % 10 < 1
+                            then aid + 1 else aid end as aid, pid
+                from o),
+            gt as (select aid, count(*) as n_gt from o group by aid),
+            pr as (select aid, count(*) as n_pred from pred group by aid),
+            inter as (select o.aid, count(*) as n_inter
+                      from o join pred on o.aid = pred.aid and o.pid = pred.pid
+                      group by o.aid)
+            select gt.aid,
+                   cast(gt.n_gt as bigint) as n_gt,
+                   round(coalesce(inter.n_inter, 0)::double
+                         / greatest(coalesce(pr.n_pred, 0), 1), 6) as precision,
+                   round(coalesce(inter.n_inter, 0)::double
+                         / greatest(gt.n_gt, 1), 6) as recall
+            from gt left join pr on gt.aid = pr.aid
+                    left join inter on gt.aid = inter.aid
+        """,
+        "year_sorted_profiles": """
+            select o_custkey,
+                   string_agg(cast(o_orderkey as varchar), ','
+                       order by o_orderdate desc, o_orderkey desc) as orderkeys_desc
+            from orders group by o_custkey
+        """,
+        # simhash_pairs, media_meta, lsh_ann_topk, knrm_features: no SQL
+        # oracle (pandas-UDF bit/kernel math, mapInPandas, approximate) →
+        # rows-only.
     }

@@ -90,6 +90,67 @@ def test_lsh_topk_same_bucket_recall(spark):
     assert {r["neighbor_id"] for r in got} == {1, 2, 3, 4}
 
 
+def test_score_pairs_arrow_equals_catalyst(spark):
+    """The fused Arrow feature UDF is a physical rewrite of the Catalyst
+    expression plan — same features, same scores (fp tolerance)."""
+    from whoiswho_spark.operators.scoring import score_pairs
+
+    rs = np.random.RandomState(3)
+    rows = []
+    for i in range(60):
+        e1 = [float(x) for x in rs.randn(8)]
+        e2 = [float(x) for x in rs.randn(8)]
+        t1 = " ".join(rs.choice(list("abcdefgh"), 5))
+        t2 = " ".join(rs.choice(list("abcdefgh"), 5))
+        rows.append(
+            (f"a{i}", f"b{i}", t1, t2, t1.split(), t2.split(),
+             (t1 * 3).split(), (t2 * 2).split(), e1, e2)
+        )
+    pairs = spark.createDataFrame(
+        rows,
+        "url_a string, url_b string, title_a string, title_b string, "
+        "title_tokens_a array<string>, title_tokens_b array<string>, "
+        "text_tokens_a array<string>, text_tokens_b array<string>, "
+        "embedding_a array<double>, embedding_b array<double>",
+    )
+    cols = ["url_a", "f_emb_dot", "f_text_tanimoto", "f_title_cos3",
+            "f_title_common", "score"]
+    a = {r["url_a"]: r for r in score_pairs(pairs, engine="arrow").select(cols).collect()}
+    c = {r["url_a"]: r for r in score_pairs(pairs, engine="catalyst").select(cols).collect()}
+    assert a.keys() == c.keys()
+    for k in a:
+        for col in cols[1:]:
+            assert abs(a[k][col] - c[k][col]) < 1e-9, (k, col)
+
+
+def test_blas_plans_match_join_plans(spark):
+    """The broadcast-matmul kernels are physical rewrites — results must
+    equal the join-plan operators exactly."""
+    from whoiswho_spark.operators.ann import (
+        brute_force_topk_blas,
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_blas,
+    )
+
+    rs = np.random.RandomState(7)
+    vecs = rs.randn(50, 16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id bigint, embedding array<double>",
+    )
+    j = {(r["id_a"], r["id_b"], r["cos"])
+         for r in embedding_neardup_pairs(df, threshold=0.3).collect()}
+    b = {(r["id_a"], r["id_b"], r["cos"])
+         for r in embedding_neardup_pairs_blas(df, threshold=0.3).collect()}
+    assert j == b and len(b) > 0
+
+    t1 = {(r["query_id"], r["rank"]): r["neighbor_id"]
+          for r in brute_force_topk(df.where("vec_id < 5"), df, k=3).collect()}
+    t2 = {(r["query_id"], r["rank"]): r["neighbor_id"]
+          for r in brute_force_topk_blas(df.where("vec_id < 5"), df, k=3).collect()}
+    assert t1 == t2
+
+
 def test_top1_assign_threshold_and_ties(spark):
     scored = spark.createDataFrame(
         [("i1", "c1", 0.9), ("i1", "c2", 0.9), ("i2", "c3", 0.4)],

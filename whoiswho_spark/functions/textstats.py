@@ -53,17 +53,18 @@ def stopword_ratio_col(text: Column, lang: str = "en") -> Column:
 
 def lang_id_col(text: Column, threshold: float = 0.08) -> Column:
     """Heuristic language ID: argmax marker-ratio across languages, 'und'
-    when no language clears the threshold. Deterministic tie-break by
-    language code order (en < de < fr by explicit precedence)."""
-    scores = [(lang, stopword_ratio_col(text, lang)) for lang in ("en", "de", "fr")]
-    best_lang = F.lit("und")
-    best_score = F.lit(float(threshold))
-    # fold right-to-left so earlier languages win ties (>= for later langs
-    # would steal ties; use strict > and iterate in reverse precedence)
-    for lang, score in reversed(scores):
-        best_lang = F.when(score > best_score, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(score > best_score, score).otherwise(best_score)
-    return best_lang
+    when no language clears the threshold; ties break by explicit
+    precedence en > de > fr (an oracle-mirrorable when-chain)."""
+    r_en = stopword_ratio_col(text, "en")
+    r_de = stopword_ratio_col(text, "de")
+    r_fr = stopword_ratio_col(text, "fr")
+    t = F.lit(float(threshold))
+    return (
+        F.when((r_en >= r_de) & (r_en >= r_fr) & (r_en > t), F.lit("en"))
+        .when((r_de >= r_fr) & (r_de > t), F.lit("de"))
+        .when(r_fr > t, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
 
 
 def distinct_token_ratio_col(text: Column) -> Column:

@@ -133,6 +133,109 @@ def lsh_bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def brute_force_topk_blas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k via broadcast-corpus matmul: the corpus matrix rides a
+    broadcast variable; each query partition does ONE BLAS matmul and a
+    partial top-k — no pair-row materialization, no shuffle except the
+    final (tiny) result. This is the plan shape that survives scale-up:
+    the broadcast side becomes IVF centroids / a bucketed corpus shard.
+
+    Result-identical to brute_force_topk (same round(cos,6) + id
+    tie-break ordering), pytest-verified.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    corpus_rows = corpus.select(id_col, emb_col).collect()
+    c_ids = np.asarray([r[id_col] for r in corpus_rows])
+    c_mat = np.asarray([np.asarray(r[emb_col], dtype=np.float64) for r in corpus_rows])
+    c_mat /= np.maximum(np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+
+    def topk_batches(batches):
+        ids, mat = bc.value
+        order_ids = np.argsort(ids, kind="stable")
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy()
+            q = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[emb_col]])
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            sims = np.round(q @ mat.T, 6)
+            out = {"query_id": [], "neighbor_id": [], "cos": [], "rank": []}
+            for i, qid in enumerate(q_ids):
+                row = sims[i]
+                mask = ids != qid
+                cand = np.flatnonzero(mask)
+                # top-k by (-cos, id): partial-select then exact sort
+                take = min(k + 1, len(cand))
+                part = cand[np.argpartition(-row[cand], take - 1)[:take]]
+                part = sorted(part, key=lambda j: (-row[j], ids[j]))[:k]
+                for r, j in enumerate(part, 1):
+                    out["query_id"].append(qid)
+                    out["neighbor_id"].append(ids[j])
+                    out["cos"].append(float(row[j]))
+                    out["rank"].append(r)
+            yield pd.DataFrame(out)
+
+    return queries.select(id_col, emb_col).mapInPandas(
+        topk_batches,
+        schema="query_id bigint, neighbor_id bigint, cos double, rank int",
+    )
+
+
+def embedding_neardup_pairs_blas(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-dup pairs via broadcast matmul: each partition multiplies
+    its slice against the broadcast corpus and emits only (id_a < id_b,
+    cos ≥ τ) survivors — the 12.5M-row pair shuffle of the join plan
+    becomes a few-thousand-row result. Result-identical to
+    embedding_neardup_pairs (pytest-verified).
+
+    Scale note: broadcast works to ~10^7 vectors (GBs); beyond that,
+    LSH-bucket first (embedding_neardup_pairs with n_planes>0) and run
+    this kernel per bucket.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    rows = vectors.select(id_col, emb_col).collect()
+    ids = np.asarray([r[id_col] for r in rows])
+    mat = np.asarray([np.asarray(r[emb_col], dtype=np.float64) for r in rows])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def neardup_batches(batches):
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy()
+            q = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[emb_col]])
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            sims = np.round(q @ c_mat.T, 6)
+            ii, jj = np.nonzero((sims >= threshold) & (q_ids[:, None] < c_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": q_ids[ii],
+                    "id_b": c_ids[jj],
+                    "cos": sims[ii, jj],
+                }
+            )
+
+    return vectors.select(id_col, emb_col).mapInPandas(
+        neardup_batches, schema="id_a bigint, id_b bigint, cos double"
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -22,6 +22,7 @@ hand+semantic feature stack, ClassficationModels.py:138-148).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -35,34 +36,163 @@ from whoiswho_spark.functions.similarity import (
 )
 
 
-def score_pairs(
-    pairs: DataFrame,
-    with_jaro: bool = False,
-) -> DataFrame:
-    """pairs with payload columns (title_X, title_tokens_X, text_tokens_X,
-    embedding_X for X in {a, b}) → + feature columns + ``score``."""
-    emb_dot = dot_col(F.col("embedding_a"), F.col("embedding_b"))
-    text_tan = tanimoto_col(F.col("text_tokens_a"), F.col("text_tokens_b"))
-    title_cos3 = ngram_cosine_udf(F.col("title_a"), F.col("title_b"))
-    title_common = intersect_count_col(F.col("title_tokens_a"), F.col("title_tokens_b"))
-
-    out = (
-        pairs.withColumn("f_emb_dot", emb_dot)
-        .withColumn("f_text_tanimoto", text_tan)
-        .withColumn("f_title_cos3", title_cos3)
-        .withColumn("f_title_common", title_common)
-    )
-    if with_jaro:
-        out = out.withColumn(
-            "f_title_jw", jaro_winkler_udf(F.col("title_a"), F.col("title_b"))
-        )
-    score = (
+def _score_expr() -> "F.Column":
+    return (
         F.lit(W_AUTHOR) * F.col("f_emb_dot")
         + F.lit(W_ORG) * F.col("f_text_tanimoto")
         + F.lit(W_VENUE) * F.col("f_title_cos3")
         + F.lit(W_TITLE) * F.least(F.col("f_title_common"), F.lit(3.0))
     )
-    return out.withColumn("score", score)
+
+
+def _all_features_udf():
+    """ONE Arrow-batched pandas UDF computing the full feature struct.
+
+    The north-star contract ("similarity features entirely in vectorized
+    pandas/Arrow UDFs over candidate-pair batches") and the fast path:
+    a single Arrow transfer per batch, numpy for the embedding dot,
+    Python set ops for token overlap. Crucially this takes the
+    array-heavy math OUT of the JVM: Catalyst's zip_with/aggregate HOF
+    exprs don't participate in whole-stage codegen and allocate per
+    element, making the scoring stage GC-bound (measured: it stops
+    scaling past ~8 local cores); the Arrow path runs in isolated Python
+    workers with flat buffers.
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    from whoiswho_spark.functions.similarity import _char_ngrams
+
+    def all_features(
+        title_a,
+        title_b,
+        title_toks_a,
+        title_toks_b,
+        text_toks_a,
+        text_toks_b,
+        emb_a,
+        emb_b,
+    ):
+        n = len(title_a)
+
+        def to_mat(s):
+            # ragged-safe: rows that are null or off-dimension (e.g. the
+            # pipeline's placeholder for pages without embeddings) become
+            # zero rows → dot 0.0 (the pair survives on its text features
+            # instead of dropping with a null score)
+            lens = {len(v) for v in s if v is not None}
+            d = max(lens) if lens else 1
+            return np.asarray(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    if v is not None and len(v) == d
+                    else np.zeros(d)
+                    for v in s
+                ]
+            )
+
+        ma, mb = to_mat(emb_a), to_mat(emb_b)
+        if ma.shape[1] != mb.shape[1]:
+            d = max(ma.shape[1], mb.shape[1])
+            ma = np.pad(ma, ((0, 0), (0, d - ma.shape[1])))
+            mb = np.pad(mb, ((0, 0), (0, d - mb.shape[1])))
+        dots = (ma * mb).sum(axis=1) if n else np.zeros(0)
+
+        tan = np.zeros(n)
+        common = np.zeros(n)
+        cos3 = np.zeros(n)
+        for i in range(n):
+            sa, sb = set(text_toks_a.iat[i]), set(text_toks_b.iat[i])
+            u = len(sa | sb)
+            tan[i] = len(sa & sb) / u if u else 0.0
+            common[i] = float(len(set(title_toks_a.iat[i]) & set(title_toks_b.iat[i])))
+            ga = _char_ngrams(title_a.iat[i] or "")
+            gb = _char_ngrams(title_b.iat[i] or "")
+            if ga and gb:
+                ca: dict = {}
+                for g in ga:
+                    ca[g] = ca.get(g, 0) + 1
+                cb: dict = {}
+                for g in gb:
+                    cb[g] = cb.get(g, 0) + 1
+                dot = sum(v * cb.get(k, 0) for k, v in ca.items())
+                na = np.sqrt(sum(v * v for v in ca.values()))
+                nb = np.sqrt(sum(v * v for v in cb.values()))
+                cos3[i] = dot / (na * nb) if na and nb else 0.0
+        return pd.DataFrame(
+            {
+                "f_emb_dot": dots,
+                "f_text_tanimoto": tan,
+                "f_title_cos3": cos3,
+                "f_title_common": common,
+            }
+        )
+
+    # postponed-annotation strings break infer_eval_type for the
+    # Series→DataFrame (struct) pattern; set real annotations explicitly
+    all_features.__annotations__ = {
+        **{k: pd.Series for k in (
+            "title_a", "title_b", "title_toks_a", "title_toks_b",
+            "text_toks_a", "text_toks_b", "emb_a", "emb_b",
+        )},
+        "return": pd.DataFrame,
+    }
+    return pandas_udf(
+        all_features,
+        "f_emb_dot double, f_text_tanimoto double, "
+        "f_title_cos3 double, f_title_common double",
+    )
+
+
+def score_pairs(
+    pairs: DataFrame,
+    with_jaro: bool = False,
+    engine: str = "arrow",
+) -> DataFrame:
+    """pairs with payload columns (title_X, title_tokens_X, text_tokens_X,
+    embedding_X for X in {a, b}) → + feature columns + ``score``.
+
+    engine='arrow' (default): one fused pandas UDF for all features.
+    engine='catalyst': pure-expression variant (equivalence-tested);
+    useful when Python workers are unavailable.
+    """
+    if engine == "arrow":
+        feats = _all_features_udf()(
+            F.col("title_a"),
+            F.col("title_b"),
+            F.col("title_tokens_a"),
+            F.col("title_tokens_b"),
+            F.col("text_tokens_a"),
+            F.col("text_tokens_b"),
+            F.col("embedding_a"),
+            F.col("embedding_b"),
+        )
+        out = pairs.withColumn("_f", feats).select("*", "_f.*").drop("_f")
+    else:
+        out = (
+            pairs.withColumn(
+                "f_emb_dot", dot_col(F.col("embedding_a"), F.col("embedding_b"))
+            )
+            .withColumn(
+                "f_text_tanimoto",
+                tanimoto_col(F.col("text_tokens_a"), F.col("text_tokens_b")),
+            )
+            .withColumn(
+                "f_title_cos3", ngram_cosine_udf(F.col("title_a"), F.col("title_b"))
+            )
+            .withColumn(
+                "f_title_common",
+                intersect_count_col(
+                    F.col("title_tokens_a"), F.col("title_tokens_b")
+                ),
+            )
+        )
+    if with_jaro:
+        out = out.withColumn(
+            "f_title_jw", jaro_winkler_udf(F.col("title_a"), F.col("title_b"))
+        )
+    return out.withColumn("score", _score_expr())
 
 
 PAIR_PAYLOAD_COLS = [
@@ -72,3 +202,64 @@ PAIR_PAYLOAD_COLS = [
     "text_tokens",
     "embedding",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Learned calibrated scorer (the GBDT-ensemble *scoring semantics* of
+# ClassficationModels.py:41-331 — a calibrated pair probability in [0,1] —
+# re-expressed as a tiny deterministic logistic model: sample labeled
+# pairs → fit on the driver (numpy, seeded full-batch gradient descent) →
+# broadcast weights → score as a pure Catalyst expression. No sklearn
+# dependency; swap in any GBDT via the same predict-as-expression hook.)
+# ---------------------------------------------------------------------------
+
+FEATURE_COLS = ["f_emb_dot", "f_text_tanimoto", "f_title_cos3", "f_title_common"]
+
+
+def fit_logistic_scorer(
+    labeled_pairs: DataFrame,
+    label_col: str = "label",
+    feature_cols: list[str] | None = None,
+    max_rows: int = 100_000,
+    iters: int = 300,
+    lr: float = 0.5,
+) -> dict:
+    """Fit w, b on a bounded sample of labeled pairs (driver-side numpy —
+    the model is tiny; the TRAINING DATA sample is capped, mirroring the
+    reference's debug-mode truncation and per-author caps)."""
+    import numpy as np
+
+    feature_cols = feature_cols or FEATURE_COLS
+    rows = (
+        labeled_pairs.select(*feature_cols, label_col)
+        .limit(max_rows)
+        .collect()
+    )
+    X = np.asarray([[r[c] for c in feature_cols] for r in rows], dtype=np.float64)
+    y = np.asarray([float(r[label_col]) for r in rows])
+    mu, sd = X.mean(0), np.maximum(X.std(0), 1e-9)
+    Xn = (X - mu) / sd
+    w = np.zeros(X.shape[1])
+    b = 0.0
+    for _ in range(iters):
+        z = Xn @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (Xn.T @ g) / len(y)
+        b -= lr * g.mean()
+    return {
+        "w": w.tolist(),
+        "b": float(b),
+        "mu": mu.tolist(),
+        "sd": sd.tolist(),
+        "features": feature_cols,
+    }
+
+
+def logistic_score_col(model: dict):
+    """Broadcastable predict: sigmoid(w·(x−mu)/sd + b) as one Catalyst
+    expression over the feature columns — JVM-side, codegen'd."""
+    z = F.lit(model["b"])
+    for w, m, s, c in zip(model["w"], model["mu"], model["sd"], model["features"]):
+        z = z + F.lit(w) * ((F.col(c) - F.lit(m)) / F.lit(s))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

@@ -50,6 +50,12 @@ class ERConfig:
     n_salts: int = 0  # 0 = plain self-join (AQE handles mid skew)
     threshold: float = POST_MATCH_THRESHOLD
     resume: bool = True
+    # 'cc'     → threshold graph + large-star/small-star (default, scales)
+    # 'dbscan' → per-block DBSCAN + post_match (reference-parity path,
+    #            AutoTrainSND.py:245-249; blocks must fit in a task)
+    cluster_method: str = "cc"
+    dbscan_eps: float = 0.2
+    dbscan_min_samples: int = 4
 
 
 def extract_stage(pages: DataFrame) -> DataFrame:
@@ -133,6 +139,50 @@ def run_pipeline(
         lambda: threshold_edges(pairs, cfg.threshold),
         cfg.resume,
     )
+
+    if cfg.cluster_method == "dbscan":
+
+        def _dbscan_clusters():
+            from whoiswho_spark.operators.clustering import post_match
+            from whoiswho_spark.operators.clustering_dbscan import (
+                cluster_blocks_dbscan,
+            )
+
+            bp = blocks.join(embeddings.select("url", "embedding"), "url")
+            labels = cluster_blocks_dbscan(
+                bp, eps=cfg.dbscan_eps, min_samples=cfg.dbscan_min_samples
+            )
+            # a url clustered in ≥1 block keeps the (deterministic) min
+            # block#label id; urls that are -1 everywhere are outliers and
+            # go through post_match reattachment (AutoTrainSND.py:163-206)
+            merged = (
+                labels.where(F.col("label") >= 0)
+                .select(
+                    "url",
+                    F.concat_ws("#", "block_key", "label").alias("cluster_id"),
+                )
+                .groupBy("url")
+                .agg(F.min("cluster_id").alias("cluster_id"))
+            )
+            outliers = (
+                labels.groupBy("url")
+                .agg(F.max("label").alias("mx"))
+                .where(F.col("mx") < 0)
+                .select("url")
+            )
+            clusters0 = (
+                payload.select("url")
+                .distinct()
+                .join(merged, "url", "left")
+                .select(
+                    "url", F.coalesce("cluster_id", F.col("url")).alias("cluster_id")
+                )
+            )
+            return post_match(clusters0, pairs, outliers, cfg.threshold)
+
+        return M.stage(
+            spark, workdir, run_id, "clusters", _dbscan_clusters, cfg.resume
+        )
 
     clusters = M.stage(
         spark,
