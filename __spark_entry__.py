@@ -137,7 +137,9 @@ def _q_ngram_jaccard_pairs(spark, sf):
     tanimoto semantics)."""
     from whoiswho_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf, "documents"), block_col="source")
+    return ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), block_col="source", broadcast_right=True
+    )
 
 
 def _q_embedding_neardup(spark, sf):

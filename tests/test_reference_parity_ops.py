@@ -221,6 +221,32 @@ def test_stacking_features(spark):
     assert single["mean_score"] == 0.7 and single["gap_over_mean"] == 0.0
 
 
+# --- meta-path walks ----------------------------------------------------------
+
+def test_meta_path_walks(spark):
+    from whoiswho_spark.operators.walks import meta_path_walks
+
+    # two disconnected components: walks never cross
+    edges = spark.createDataFrame(
+        [("p1", "ta"), ("p2", "ta"), ("p3", "tb"), ("p4", "tb")],
+        "pid string, token string",
+    )
+    walks = meta_path_walks(edges, n_walks=2, walk_len=4).collect()
+    assert len(walks) == 8  # 4 papers × 2 walks
+    comp = {"p1": {"p1", "p2"}, "p2": {"p1", "p2"}, "p3": {"p3", "p4"}, "p4": {"p3", "p4"}}
+    for r in walks:
+        assert len(r["path"]) == 4
+        assert set(r["path"]) <= comp[r["start"]]
+        assert r["path"][0] == r["start"]
+    # deterministic across invocations
+    again = meta_path_walks(edges, n_walks=2, walk_len=4).collect()
+    assert sorted(map(str, walks)) == sorted(map(str, again))
+    # different walk ids explore independently: with 2 neighbors per token
+    # not every step can pick the same next node for all walks
+    paths = {r["walk_id"]: tuple(r["path"]) for r in walks}
+    assert len(set(paths.values())) > 2
+
+
 # --- streaming ----------------------------------------------------------------
 
 def test_streaming_hourly_matches_batch(spark, tmp_path):

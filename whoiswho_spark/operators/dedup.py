@@ -110,31 +110,75 @@ def minhash_dup_pairs(
     )
 
 
+def _jaccard_sets_udf():
+    """Arrow-batched token-set Jaccard — Python set ops per batch beat
+    the interpreted Catalyst array HOFs ~1.5× at sf0.1 and sidestep
+    their JVM allocation pressure (see scoring._all_features_udf note)."""
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql.types import DoubleType
+
+    def jac(x, y):
+        out = np.zeros(len(x))
+        for i in range(len(x)):
+            sa, sb = set(x.iat[i]), set(y.iat[i])
+            u = len(sa | sb)
+            out[i] = len(sa & sb) / u if u else 0.0
+        return pd.Series(out)
+
+    jac.__annotations__ = {"x": pd.Series, "y": pd.Series, "return": pd.Series}
+    return pandas_udf(jac, DoubleType())
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     block_col: str,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """Within-block pairs with token-SET Jaccard ≥ threshold →
     (block, id_a, id_b, jaccard). The exact-verify stage; block first so
-    the join never goes quadratic globally."""
+    the join never goes quadratic globally.
+
+    Exact pruning: J(a,b) ≥ τ requires min(|a|,|b|) ≥ τ·max(|a|,|b|)
+    (since |∩| ≤ min and J ≥ τ ⇒ |∩| ≥ τ(|a|+|b|)/(1+τ)), so the size
+    filter runs before any set work — the standard set-similarity-join
+    length filter. ``broadcast_right=True`` hints a broadcast build side
+    when the corpus fits (test scale / per-bucket shards); at full scale
+    leave False and let AQE pick.
+    """
     t = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col),
         F.array_distinct(tokens_col(F.col(text_col))).alias("toks"),
+    ).withColumn("sz", F.size("toks"))
+    a = t.select(
+        "block", F.col(id_col).alias("id_a"),
+        F.col("toks").alias("toks_a"), F.col("sz").alias("sz_a"),
     )
-    a = t.select("block", F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
-    b = t.select("block", F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    b = t.select(
+        "block", F.col(id_col).alias("id_b"),
+        F.col("toks").alias("toks_b"), F.col("sz").alias("sz_b"),
+    )
+    if broadcast_right:
+        b = F.broadcast(b)
+    jac_udf = _jaccard_sets_udf()
     return (
         a.join(b, "block")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("sz_a", "sz_b")
+                >= F.lit(float(threshold)) * F.greatest("sz_a", "sz_b")
+            )
+        )
         .select(
             "block",
             "id_a",
             "id_b",
-            F.round(tanimoto_col(F.col("toks_a"), F.col("toks_b")), 6).alias("jaccard"),
+            F.round(jac_udf(F.col("toks_a"), F.col("toks_b")), 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -147,15 +191,25 @@ def simhash64_udf(text: pd.Series) -> pd.Series:
     import hashlib
 
     out = np.zeros(len(text), dtype=np.int64)
+    bit_cache: dict[str, np.ndarray] = {}  # per-batch token→±1 bits memo
+
+    def token_bits(t: str) -> np.ndarray:
+        b = bit_cache.get(t)
+        if b is None:
+            digest = hashlib.md5(t.encode()).digest()[:8]
+            b = 2 * np.unpackbits(
+                np.frombuffer(digest, dtype=np.uint8)
+            ).astype(np.int64) - 1
+            bit_cache[t] = b
+        return b
+
     for i, s in enumerate(text.fillna("")):
         toks = [t for t in s.split(" ") if t]
         if not toks:
             continue
         acc = np.zeros(64, dtype=np.int64)
         for t in toks:
-            digest = hashlib.md5(t.encode()).digest()[:8]
-            bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8)).astype(np.int64)
-            acc += 2 * bits - 1
+            acc += token_bits(t)
         val = 0
         for b in range(64):
             if acc[b] > 0:
