@@ -74,6 +74,53 @@ def test_resume_skips_completed_and_recovers(spark, corpus, workdir):
     assert os.path.getmtime(f"{wd}/pairs/_SUCCESS") == pairs_mtime
 
 
+def test_dbscan_parity_path_f1_gate(spark, corpus, workdir):
+    """The reference-parity clustering path (per-block DBSCAN + CC merge
+    of co-membership + post_match) must also clear the F1 gate."""
+    from whoiswho_spark.plans.pipeline import ERConfig
+
+    wd = f"{workdir}/dbscan"
+    pages, embs, labels = _split(corpus)
+    run_pipeline(spark, pages, embs, wd, ERConfig(cluster_method="dbscan"))
+    f1 = evaluate_run(spark, wd, labels)
+    assert f1 >= 0.99, f"DBSCAN-path pairwise F1 {f1} < 0.99"
+
+
+def test_logistic_scorer_separates(spark, corpus, workdir):
+    """The learned calibrated scorer (GBDT-scoring-semantics stand-in)
+    separates true from false pairs on the pipeline's own features."""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.scoring import (
+        fit_logistic_scorer,
+        logistic_score_col,
+    )
+
+    wd = f"{workdir}/gate"  # built by test_f1_gate
+    pairs = spark.read.parquet(f"{wd}/pairs")
+    labels = corpus.select("url", "entity_id")
+    labeled = (
+        pairs.join(
+            labels.withColumnRenamed("url", "url_a").withColumnRenamed(
+                "entity_id", "e_a"
+            ),
+            "url_a",
+        )
+        .join(
+            labels.withColumnRenamed("url", "url_b").withColumnRenamed(
+                "entity_id", "e_b"
+            ),
+            "url_b",
+        )
+        .withColumn("label", (F.col("e_a") == F.col("e_b")).cast("int"))
+    )
+    model = fit_logistic_scorer(labeled)
+    scored = labeled.withColumn("p", logistic_score_col(model))
+    row = scored.groupBy("label").agg(F.avg("p").alias("m")).collect()
+    means = {r["label"]: r["m"] for r in row}
+    assert means[1] > 0.9 and means[0] < 0.1
+
+
 def test_metrics_lineage_written(spark, corpus, workdir):
     """Every stage appends per-partition lineage counters."""
     wd = f"{workdir}/gate"  # built above

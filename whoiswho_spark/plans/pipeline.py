@@ -152,31 +152,31 @@ def run_pipeline(
             labels = cluster_blocks_dbscan(
                 bp, eps=cfg.dbscan_eps, min_samples=cfg.dbscan_min_samples
             )
-            # a url clustered in ≥1 block keeps the (deterministic) min
-            # block#label id; urls that are -1 everywhere are outliers and
-            # go through post_match reattachment (AutoTrainSND.py:163-206)
-            merged = (
+            # A url sits in several LSH-band blocks and gets an independent
+            # DBSCAN label in each (the reference has exactly one name block
+            # per paper, so it never faces this). Per-block co-membership is
+            # therefore treated as an EDGE relation and unified globally
+            # with connected components — the order-free transitive merge.
+            grp = (
                 labels.where(F.col("label") >= 0)
-                .select(
-                    "url",
-                    F.concat_ws("#", "block_key", "label").alias("cluster_id"),
-                )
-                .groupBy("url")
-                .agg(F.min("cluster_id").alias("cluster_id"))
+                .groupBy("block_key", "label")
+                .agg(F.min("url").alias("root"))
             )
+            cc_edges = (
+                labels.where(F.col("label") >= 0)
+                .join(grp, ["block_key", "label"])
+                .where(F.col("url") != F.col("root"))
+                .select(F.col("url").alias("src"), F.col("root").alias("dst"))
+            )
+            clusters0 = connected_components(
+                cc_edges, vertices=payload.select("url")
+            )
+            # urls that are -1 in every block are the post_match outlier set
             outliers = (
                 labels.groupBy("url")
                 .agg(F.max("label").alias("mx"))
                 .where(F.col("mx") < 0)
                 .select("url")
-            )
-            clusters0 = (
-                payload.select("url")
-                .distinct()
-                .join(merged, "url", "left")
-                .select(
-                    "url", F.coalesce("cluster_id", F.col("url")).alias("cluster_id")
-                )
             )
             return post_match(clusters0, pairs, outliers, cfg.threshold)
 
