@@ -61,6 +61,38 @@ def test_cc_chain_converges(spark):
     assert len(got) == n
 
 
+def test_cc_mid_stage_resume(spark, tmp_path):
+    """CC resumes from the last completed iteration checkpoint: rerun
+    with an existing checkpoint dir must not recompute earlier iters
+    (mtimes untouched) and must produce identical labels."""
+    import os
+    import random as _r
+
+    rng = _r.Random(3)
+    nodes = [f"n{i:03d}" for i in range(50)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    vdf = spark.createDataFrame([(x,) for x in nodes], "url string")
+    ckpt = str(tmp_path / "cc")
+
+    first = sorted(
+        (r["url"], r["cluster_id"])
+        for r in connected_components(edf, vertices=vdf, checkpoint_dir=ckpt).collect()
+    )
+    iters = sorted(d for d in os.listdir(ckpt) if d.startswith("iter_"))
+    assert iters, "expected per-iteration checkpoints"
+    mtimes = {d: os.path.getmtime(f"{ckpt}/{d}/_SUCCESS") for d in iters}
+
+    second = sorted(
+        (r["url"], r["cluster_id"])
+        for r in connected_components(edf, vertices=vdf, checkpoint_dir=ckpt).collect()
+    )
+    assert first == second
+    for d, m in mtimes.items():
+        assert os.path.getmtime(f"{ckpt}/{d}/_SUCCESS") == m, f"{d} recomputed"
+
+
 def test_threshold_edges(spark):
     pairs = spark.createDataFrame(
         [("a", "b", 2.0), ("b", "c", 1.5), ("c", "d", 1.49)],

@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for the contract-critical kernels.
+
+Kept deliberately small (few examples, batched per example) — each
+example that touches Spark runs a job.
+"""
+
+import duckdb
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from whoiswho_spark.functions.normalize import norm_text_col, ref_norm_text
+from whoiswho_spark.functions.similarity import jaro_winkler
+
+TEXT = st.text(
+    alphabet=st.sampled_from(
+        list("abcXYZ 019 \t!\"#$%&'()*+,-./:;<=>?@[]^_`{|}~") + ["“", "”", "—", "～", "’", "é", "北"]
+    ),
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=25))
+def test_catalyst_norm_equals_reference_property(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = [r["n"] for r in df.select(norm_text_col(F.col("s")).alias("n")).collect()]
+    assert got == [ref_norm_text(t) for t in texts]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=20),
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=20),
+)
+def test_jaro_winkler_matches_duckdb_property(a, b):
+    want = duckdb.sql(
+        "select jaro_winkler_similarity(?, ?)", params=[a, b]
+    ).fetchone()[0]
+    assert abs(jaro_winkler(a, b) - want) < 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.frozensets(st.integers(0, 30), max_size=15),
+    st.frozensets(st.integers(0, 30), max_size=15),
+)
+def test_tanimoto_properties(a, b):
+    def tan(p, q):
+        c = [v for v in p if v in q]
+        return len(c) / (len(p) + len(q) - len(c)) if (p or q) else 0.0
+
+    t = tan(a, b)
+    assert 0.0 <= t <= 1.0
+    assert tan(a, b) == tan(b, a)
+    if a and a == b:
+        assert t == 1.0
+    if a and b and not (a & b):
+        assert t == 0.0
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_cc_equals_union_find_property(spark, int_edges):
+    from whoiswho_spark.operators.clustering import connected_components
+
+    edges = [(f"v{a:02d}", f"v{b:02d}") for a, b in int_edges if a != b]
+    nodes = sorted({x for e in edges for x in e})
+    if not edges:
+        return
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["url"]: r["cluster_id"] for r in connected_components(edf).collect()}
+    assert got == want

@@ -78,11 +78,14 @@ def cosine_col(a: Column, b: Column) -> Column:
 
 
 def _jaro(s1: str, s2: str) -> float:
-    if s1 == s2:
-        return 1.0
     len1, len2 = len(s1), len(s2)
+    # empty-side convention: 0.0 even for two empties (matches DuckDB's
+    # jaro_winkler_similarity; the reference never compares empties —
+    # feature_process.py:357-363 guards them out)
     if len1 == 0 or len2 == 0:
         return 0.0
+    if s1 == s2:
+        return 1.0
     window = max(len1, len2) // 2 - 1
     if window < 0:
         window = 0

@@ -83,21 +83,48 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, vertices: DataFrame | None = None, max_iter: int = 25
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """edges(src, dst) → (url, cluster_id STRING = component-min node id).
 
     Alternates large-star/small-star until the edge set is a fixpoint
     (checked by count + order-insensitive checksum — two cheap aggregates,
-    no collect of edges). Each iteration localCheckpoints to truncate
-    lineage; at cluster scale swap for checkpoint-to-table (plans/
-    pipeline.py does exactly that for resumability).
+    no collect of edges). Each iteration truncates lineage: in-memory
+    localCheckpoint by default, or — when ``checkpoint_dir`` is given —
+    a parquet checkpoint per iteration (``iter_k`` dirs with _SUCCESS
+    markers), so a killed job resumes MID-STAGE from the last completed
+    iteration instead of recomputing the loop (north-rule resumability).
 
     ``vertices`` (column ``url``): optional universe; isolated vertices
     become singleton clusters labeled by themselves.
     """
+    spark = edges.sparkSession
     edges = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
-    edges = edges.localCheckpoint()
+
+    def _persist(e: DataFrame, it: int) -> DataFrame:
+        if checkpoint_dir is None:
+            return e.localCheckpoint()
+        path = f"{checkpoint_dir}/iter_{it}"
+        e.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def _resume_point() -> tuple[int, DataFrame | None]:
+        if checkpoint_dir is None:
+            return -1, None
+        from whoiswho_spark.plans.metrics import _success_exists
+
+        last = -1
+        for it in range(max_iter):
+            if _success_exists(spark, f"{checkpoint_dir}/iter_{it}"):
+                last = it
+            else:
+                break
+        if last < 0:
+            return -1, None
+        return last, spark.read.parquet(f"{checkpoint_dir}/iter_{last}")
 
     def _checksum(e: DataFrame) -> tuple:
         row = e.agg(
@@ -106,13 +133,32 @@ def connected_components(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    prev = None
-    for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
-        cur = _checksum(edges)
-        if cur == prev:
-            break
-        prev = cur
+    start_iter, resumed = _resume_point()
+    already_converged = False
+    if resumed is not None:
+        edges = resumed
+        prev = _checksum(edges)
+        from whoiswho_spark.plans.metrics import _success_exists
+
+        # converged marker is itself a tiny parquet dir → works on any
+        # Hadoop-compatible FS (object stores included), atomic via the
+        # committer like every other checkpoint
+        already_converged = _success_exists(spark, f"{checkpoint_dir}/converged")
+    else:
+        edges = _persist(edges, -1) if checkpoint_dir else edges.localCheckpoint()
+        prev = None
+
+    if not already_converged:
+        for it in range(start_iter + 1, max_iter):
+            edges = _persist(_small_star(_large_star(edges)), it)
+            cur = _checksum(edges)
+            if cur == prev:
+                break
+            prev = cur
+        if checkpoint_dir is not None:
+            spark.range(1).write.mode("overwrite").parquet(
+                f"{checkpoint_dir}/converged"
+            )
 
     # At the fixpoint every edge is (node, component_min).
     labels = (

@@ -189,7 +189,13 @@ def run_pipeline(
         workdir,
         run_id,
         "clusters",
-        lambda: connected_components(edges, vertices=payload.select("url")),
+        lambda: connected_components(
+            edges,
+            vertices=payload.select("url"),
+            # per-iteration parquet checkpoints → mid-stage resume of the
+            # CC loop itself (north rule), not just stage-level skip
+            checkpoint_dir=f"{workdir}/cc_checkpoints",
+        ),
         cfg.resume,
     )
     return clusters
