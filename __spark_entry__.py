@@ -460,6 +460,27 @@ def _q_rnd_author_prf(spark, sf):
     )
 
 
+def _q_salted_distinct_count(spark, sf):
+    """Two-phase salted distinct aggregation (skew-proof countDistinct);
+    result must equal the plain count(distinct) oracle."""
+    from whoiswho_spark.operators.blocking import salted_distinct_count
+
+    return salted_distinct_count(
+        _t(spark, sf, "lineitem"), key="l_suppkey", val="l_partkey", n_salts=16
+    ).withColumnRenamed("l_suppkey", "suppkey")
+
+
+def _q_ivf_topk(spark, sf):
+    """IVF (KMeans coarse quantizer) approximate top-k — scale path for
+    ANN; approximate + KMeans-dependent → rows-only."""
+    from whoiswho_spark.operators.ann import ivf_topk
+
+    vecs = _t(spark, sf, "embeddings")
+    return ivf_topk(
+        vecs.where(F.col("vec_id") < 10), vecs, n_centroids=8, n_probe=3, k=5
+    )
+
+
 def _q_year_sorted_profiles(spark, sf):
     """Profile papers ordered newest-first (data_process.py:462-464,
     sort_array(collect_list(struct)) form) — orders per customer sorted by
@@ -538,6 +559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rnd_author_prf": _q_rnd_author_prf,
         "year_sorted_profiles": _q_year_sorted_profiles,
         "knrm_features": _q_knrm_features,
+        "salted_distinct_count": _q_salted_distinct_count,
+        "ivf_topk": _q_ivf_topk,
     }
 
 
@@ -834,7 +857,12 @@ def oracle_sql() -> dict[str, str]:
                        order by o_orderdate desc, o_orderkey desc) as orderkeys_desc
             from orders group by o_custkey
         """,
-        # simhash_pairs, media_meta, lsh_ann_topk, knrm_features: no SQL
-        # oracle (pandas-UDF bit/kernel math, mapInPandas, approximate) →
-        # rows-only.
+        "salted_distinct_count": """
+            select l_suppkey as suppkey,
+                   cast(count(distinct l_partkey) as bigint) as n_distinct
+            from lineitem group by l_suppkey
+        """,
+        # simhash_pairs, media_meta, lsh_ann_topk, knrm_features, ivf_topk:
+        # no SQL oracle (pandas-UDF bit/kernel math, mapInPandas,
+        # approximate/ML-dependent) → rows-only.
     }

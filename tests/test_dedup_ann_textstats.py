@@ -80,6 +80,30 @@ def test_brute_force_topk_vs_numpy(spark):
         assert mine == order, q
 
 
+def test_ivf_topk_recall(spark):
+    """IVF with full probing is exact; with partial probing recall on
+    clustered data stays high (planted-cluster embeddings)."""
+    from whoiswho_spark.operators.ann import ann_recall_at_k, brute_force_topk, ivf_topk
+
+    rs = np.random.RandomState(5)
+    rows = []
+    vid = 0
+    for ent in range(10):
+        c = rs.randn(16)
+        c /= np.linalg.norm(c)
+        for _ in range(8):
+            v = c + 0.05 * rs.randn(16)
+            rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = df.where("vec_id < 10")
+    exact = brute_force_topk(queries, df, k=5)
+    full = ivf_topk(queries, df, n_centroids=4, n_probe=4, k=5)
+    assert ann_recall_at_k(full, exact, 5) == 1.0  # full probe == exact
+    part = ivf_topk(queries, df, n_centroids=4, n_probe=1, k=5)
+    assert ann_recall_at_k(part, exact, 5) >= 0.8  # near-dups share cells
+
+
 def test_lsh_topk_same_bucket_recall(spark):
     # identical vectors land in the same bucket and find each other
     base = [float(x) for x in np.arange(8) / 10.0]

@@ -236,6 +236,89 @@ def embedding_neardup_pairs_blas(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: Spark ML KMeans coarse quantizer (seeded) →
+    corpus sharded by nearest centroid → each query probes its n_probe
+    nearest centroids → exact cosine within probed shards → window top-k.
+
+    The inverted-file scale path: corpus shuffles ONCE on centroid id;
+    queries fan out n_probe× (not |corpus|×). Recall is tunable via
+    n_probe (= n_centroids → exact). Deterministic given the seed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window as W
+
+    corpus_v = corpus.select(
+        id_col, emb_col, array_to_vector(F.col(emb_col).cast("array<double>")).alias("_v")
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="_v", predictionCol="_c")
+    model = km.fit(corpus_v)
+    centroids = model.clusterCenters()
+
+    c_assigned = model.transform(corpus_v).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        F.col("_c").alias("centroid"),
+    )
+
+    import numpy as np
+
+    cents = np.asarray([np.asarray(c) for c in centroids])
+    bc = queries.sparkSession.sparkContext.broadcast(cents)
+
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    def probes(emb: pd.Series) -> pd.Series:
+        cs = bc.value
+        out = []
+        for v in emb:
+            q = np.asarray(v, dtype=np.float64)
+            d = ((cs - q) ** 2).sum(axis=1)
+            out.append(np.argsort(d, kind="stable")[:n_probe].astype("int32").tolist())
+        return pd.Series(out)
+
+    probes.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    probes_udf = pandas_udf(probes, ArrayType(IntegerType()))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.explode(probes_udf(F.col(emb_col))).alias("centroid"),
+    )
+    scored = (
+        q.join(c_assigned, "centroid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_batch_udf(F.col("q_emb"), F.col("c_emb")), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ann_recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 5) -> float:
+    """recall@k of an approximate ANN result vs the exact top-k
+    (both (query_id, neighbor_id, rank))."""
+    a = approx.where(F.col("rank") <= k).select("query_id", "neighbor_id")
+    e = exact.where(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hit = a.join(e, ["query_id", "neighbor_id"]).count()
+    total = e.count()
+    return hit / total if total else 0.0
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -107,6 +107,33 @@ def cap_block_size(blocks: DataFrame, cap: int, order_col: str = "url") -> DataF
     )
 
 
+def salted_distinct_count(
+    df: DataFrame, key: str, val: str, n_salts: int = 16
+) -> DataFrame:
+    """Exact countDistinct per key via two-phase salted aggregation
+    (SURVEY.md §4 custom-work #3): phase 1 dedupes values inside
+    (key, salt) sub-groups — a heavy-hitter key's value set is split
+    across n_salts reducers — phase 2 merges the per-salt sets.
+    Result-identical to ``countDistinct`` (oracle-checked); use when one
+    key owns enough of the data that a single reducer would spill.
+    """
+    salted = df.select(
+        F.col(key),
+        F.col(val),
+        F.pmod(hash60(F.col(val).cast("string"), "aggsalt"), F.lit(n_salts)).alias(
+            "_salt"
+        ),
+    )
+    # phase 1: per (key, salt) distinct-value count — salts partition the
+    # VALUE space, so per-salt counts are disjoint and simply add up
+    partial = salted.groupBy(key, "_salt").agg(
+        F.countDistinct(val).alias("_part")
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_part").cast("bigint").alias("n_distinct")
+    )
+
+
 def block_stats(blocks: DataFrame) -> DataFrame:
     """Block-size histogram — the skew diagnostic (drives salt choice)."""
     return (
