@@ -121,6 +121,56 @@ def test_logistic_scorer_separates(spark, corpus, workdir):
     assert means[1] > 0.9 and means[0] < 0.1
 
 
+def test_w2v_derived_embeddings_f1_gate(spark, corpus, workdir):
+    """Full reference chain: no precomputed embedding table — embeddings
+    derived in-pipeline by Word2Vec mean-pooling (semantic_features.py
+    analog); the F1 gate must still clear."""
+    wd = f"{workdir}/w2v"
+    pages, _, labels = _split(corpus)
+    run_pipeline(spark, pages, None, wd)
+    f1 = evaluate_run(spark, wd, labels)
+    assert f1 >= 0.99, f"w2v-path pairwise F1 {f1} < 0.99"
+    import os
+
+    assert os.path.exists(f"{wd}/embeddings/_SUCCESS")  # its own checkpoint
+
+
+def test_rnd_assignment(spark, corpus, workdir):
+    """RND flow: hold out the v0 variant of every multi-variant entity,
+    cluster the rest (already done by the gate run), then assign the
+    held-out pages back — accuracy must be high and NILs rare."""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.plans.pipeline import extract_stage
+    from whoiswho_spark.plans.rnd_pipeline import assign_pages
+
+    wd = f"{workdir}/gate"
+    pages, embs, labels = _split(corpus)
+    payload = extract_stage(pages).join(embs, "url")
+    clusters = spark.read.parquet(f"{wd}/clusters")
+
+    held = payload.where(F.col("url").endswith("/v1"))  # only multi-variant entities have v1
+    prof = payload.where(~F.col("url").endswith("/v1"))
+    prof_clusters = clusters.join(prof.select("url"), "url")
+
+    assigned = assign_pages(held, prof, prof_clusters)
+    # truth: the held page's entity == entity of its assigned cluster's members
+    truth = labels.withColumnRenamed("entity_id", "e_new")
+    member_truth = (
+        prof_clusters.join(labels, "url")
+        .groupBy("cluster_id")
+        .agg(F.first("entity_id").alias("e_cluster"))
+    )
+    checked = (
+        assigned.join(truth, "url").join(member_truth, "cluster_id")
+    )
+    n_held = held.count()
+    n_assigned = assigned.count()
+    n_correct = checked.where(F.col("e_new") == F.col("e_cluster")).count()
+    assert n_assigned / n_held > 0.9, f"too many NILs: {n_assigned}/{n_held}"
+    assert n_correct / n_assigned > 0.98, f"accuracy {n_correct}/{n_assigned}"
+
+
 def test_metrics_lineage_written(spark, corpus, workdir):
     """Every stage appends per-partition lineage counters."""
     wd = f"{workdir}/gate"  # built above

@@ -84,17 +84,42 @@ def extract_stage(pages: DataFrame) -> DataFrame:
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
-    embeddings: DataFrame,
+    embeddings: DataFrame | None,
     workdir: str,
     cfg: ERConfig = ERConfig(),
     run_id: str | None = None,
 ) -> DataFrame:
-    """Run all stages; returns clusters(url, cluster_id)."""
+    """Run all stages; returns clusters(url, cluster_id).
+
+    ``embeddings`` (url, embedding ARRAY) is the precomputed SBERT-style
+    table (the north-star input). Pass ``None`` to derive embeddings from
+    the corpus itself with Word2Vec mean-pooling — the reference's own
+    semantic-feature chain (semantic_features.py:32-135) as a
+    checkpointed stage.
+    """
     run_id = run_id or M.new_run_id()
 
     payload = M.stage(
         spark, workdir, run_id, "extract", lambda: extract_stage(pages), cfg.resume
     )
+
+    if embeddings is None:
+
+        def _w2v_embeddings():
+            from whoiswho_spark.operators.embeddings import (
+                doc_embeddings,
+                train_word2vec,
+            )
+
+            corpus = payload.select("url", F.col("text_tokens").alias("tokens"))
+            model = train_word2vec(corpus, min_count=2)
+            return doc_embeddings(
+                model=model, docs=corpus, id_col="url", tokens_col="tokens"
+            ).select("url", "embedding")
+
+        embeddings = M.stage(
+            spark, workdir, run_id, "embeddings", _w2v_embeddings, cfg.resume
+        )
 
     def _blocks():
         b = lsh_block_keys(

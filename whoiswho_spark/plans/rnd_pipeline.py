@@ -1,0 +1,79 @@
+"""RND-style incremental assignment (SURVEY.md §3.2, batch semantics).
+
+The reference's real-time name disambiguation scores each unassigned
+paper against every candidate author profile under the same name and
+assigns to the argmax above a NIL threshold (/root/reference/whoiswho/
+training/AutoTrainRND.py:52-71, 259-324). Webtext analog: assign new
+pages to existing entity clusters.
+
+Stages (all plain DataFrame jobs — the reference's 'real-time' is bulk
+recomputation, SURVEY.md §1.3):
+1. block new pages with the same LSH keys as the profile corpus;
+2. candidate pairs = new page × profile member sharing a block;
+3. pair scores with the SND feature stack (scoring.score_pairs);
+4. per (page, cluster): aggregate member scores (max — the reference
+   ensembles per-candidate scores, ClassficationModels.py:274-301's
+   max is the dominant lv2 feature);
+5. top-1 with NIL threshold (rnd.top1_assign).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whoiswho_spark.constants import POST_MATCH_THRESHOLD
+from whoiswho_spark.operators.blocking import lsh_block_keys
+from whoiswho_spark.operators.rnd import top1_assign
+from whoiswho_spark.operators.scoring import score_pairs
+
+
+def assign_pages(
+    new_payload: DataFrame,
+    profile_payload: DataFrame,
+    clusters: DataFrame,
+    threshold: float = POST_MATCH_THRESHOLD,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(new pages payload, profile payload, clusters(url, cluster_id)) →
+    assignments(url, cluster_id, score); pages below threshold are NIL
+    (absent — they'd seed new clusters downstream).
+
+    Payload columns: url, title, title_tokens, text_tokens, embedding.
+    """
+    # block keys must be built identically for both sides
+    def keys(df):
+        d = df.select("url", "title").withColumn("host", F.lit(""))
+        return lsh_block_keys(d, num_hashes=num_hashes, bands=bands)
+
+    new_keys = keys(new_payload)
+    prof_keys = keys(profile_payload)
+
+    pairs = (
+        new_keys.withColumnRenamed("url", "url_new")
+        .join(prof_keys.withColumnRenamed("url", "url_prof"), "block_key")
+        .select("url_new", "url_prof")
+        .distinct()
+    )
+    a = new_payload.select(
+        F.col("url").alias("url_new"),
+        *[F.col(c).alias(f"{c}_a") for c in ("title", "title_tokens", "text_tokens", "embedding")],
+    )
+    b = profile_payload.select(
+        F.col("url").alias("url_prof"),
+        *[F.col(c).alias(f"{c}_b") for c in ("title", "title_tokens", "text_tokens", "embedding")],
+    )
+    scored = score_pairs(pairs.join(a, "url_new").join(b, "url_prof"))
+
+    per_cluster = (
+        scored.join(
+            clusters.withColumnRenamed("url", "url_prof"), "url_prof"
+        )
+        .groupBy("url_new", "cluster_id")
+        .agg(F.max("score").alias("score"))
+    )
+    return top1_assign(
+        per_cluster, item_col="url_new", cand_col="cluster_id",
+        score_col="score", threshold=threshold,
+    ).withColumnRenamed("url_new", "url")
