@@ -95,15 +95,33 @@ def minhash_dup_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 4,
     rows_per_band: int = 2,
+    n_salts: int = 8,
 ) -> DataFrame:
-    """Candidate dup pairs from shared LSH buckets (deduped across bands)."""
+    """Candidate dup pairs from shared LSH buckets (deduped across bands).
+
+    Boilerplate-heavy corpora produce mega-buckets (one bucket at sf0.1
+    holds 3k docs → ~5M pairs); a plain bucket join puts each bucket's
+    quadratic work on ONE task. The salted replicate-join splits it
+    across n_salts tasks with the identical result set (same trick as
+    pairs.salted_candidate_pairs, numeric-id ordering preserved).
+    """
     bk = minhash_band_buckets(df, text_col, id_col, num_hashes, rows_per_band)
     a = bk.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
+        F.col("band"),
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.pmod(hash60(F.col(id_col).cast("string"), "mhsalt"), F.lit(n_salts)).alias(
+            "_salt"
+        ),
     )
-    b = bk.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
+    b = bk.select(
+        F.col("band"),
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt"),
+    )
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b, ["band", "bucket", "_salt"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
