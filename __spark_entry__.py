@@ -137,30 +137,32 @@ def _q_ngram_jaccard_pairs(spark, sf):
     tanimoto semantics)."""
     from whoiswho_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), block_col="source", broadcast_right=True
-    )
+    # no broadcast hint: AQE picks the join strategy (broadcast_right is a
+    # per-bucket-shard opt-in, not a full-corpus default — scale plan)
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), block_col="source")
 
 
 def _q_embedding_neardup(spark, sf):
     """Embedding-cosine near-dup pairs (SBERT-style dot products); τ=0.35
     sits in the upper tail of this testdata's cosine distribution.
-    BLAS broadcast-matmul plan (result-identical to the join plan,
+    Sharded blocked-matmul plan — no driver-side corpus collect, per-task
+    memory = 2·|corpus|/n_shards (result-identical to the join plan,
     tests/test_dedup_ann_textstats.py)."""
-    from whoiswho_spark.operators.ann import embedding_neardup_pairs_blas
+    from whoiswho_spark.operators.ann import sharded_neardup_pairs
 
-    return embedding_neardup_pairs_blas(
-        _t(spark, sf, "embeddings"), threshold=0.35
+    return sharded_neardup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.35, n_shards=8
     )
 
 
 def _q_ann_topk(spark, sf):
-    """Exact cosine top-5 for the first 10 vectors — broadcast-matmul
-    kernel (ANN baseline)."""
-    from whoiswho_spark.operators.ann import brute_force_topk_blas
+    """Exact cosine top-5 for the first 10 vectors — corpus hash-sharded
+    once, per-shard BLAS partial top-k, global window merge. No
+    driver-side collect (ANN exact baseline)."""
+    from whoiswho_spark.operators.ann import sharded_topk
 
     vecs = _t(spark, sf, "embeddings")
-    return brute_force_topk_blas(vecs.where(F.col("vec_id") < 10), vecs, k=5)
+    return sharded_topk(vecs.where(F.col("vec_id") < 10), vecs, k=5, n_shards=8)
 
 
 def _q_top1_threshold(spark, sf):

@@ -164,3 +164,68 @@ def test_pairwise_scores_match_reference_loop(spark):
     for b, want in oracle.items():
         for g, w in zip(got[b], want):
             assert abs(g - w) < 1e-12, (b, got[b], want)
+
+
+def test_cc_max_iter_exhaustion_raises_then_resumes(spark, tmp_path):
+    """Exhausting max_iter without a fixpoint must RAISE (never emit
+    labels from a non-converged edge set) and must NOT write the
+    converged marker; a rerun with a larger max_iter resumes from the
+    last checkpointed iteration and produces correct labels."""
+    import os
+
+    import pytest
+
+    from whoiswho_spark.operators.clustering import ConvergenceError
+
+    n = 64
+    edges = [(f"v{i:03d}", f"v{i + 1:03d}") for i in range(n - 1)]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    ckpt = str(tmp_path / "cc_exhaust")
+
+    with pytest.raises(ConvergenceError):
+        connected_components(edf, checkpoint_dir=ckpt, max_iter=1)
+    assert not os.path.exists(f"{ckpt}/converged/_SUCCESS")
+    assert os.path.exists(f"{ckpt}/iter_0/_SUCCESS")
+    mtime0 = os.path.getmtime(f"{ckpt}/iter_0/_SUCCESS")
+
+    got = connected_components(edf, checkpoint_dir=ckpt, max_iter=25).collect()
+    assert {r["cluster_id"] for r in got} == {"v000"}
+    assert len(got) == n
+    assert os.path.exists(f"{ckpt}/converged/_SUCCESS")
+    # genuinely resumed: iteration 0 was not recomputed
+    assert os.path.getmtime(f"{ckpt}/iter_0/_SUCCESS") == mtime0
+
+
+def test_cc_stale_checkpoint_invalidated_on_input_change(spark, tmp_path):
+    """A checkpoint dir written for one edge set must NOT be reused for a
+    different edge set (regenerated edges / changed threshold in the same
+    workdir): the input checksum keys the state."""
+    ckpt = str(tmp_path / "cc_shared")
+    e1 = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    got1 = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(e1, checkpoint_dir=ckpt).collect()
+    }
+    assert got1 == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    # different edges, SAME dir → must recompute, not return got1
+    e2 = spark.createDataFrame([("a", "x"), ("b", "y")], "src string, dst string")
+    got2 = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(e2, checkpoint_dir=ckpt).collect()
+    }
+    assert got2 == {"a": "a", "x": "a", "b": "b", "y": "b"}
+
+    # resume=False wipes even with identical input (fresh recompute)
+    import os
+
+    got3 = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(
+            e2, checkpoint_dir=ckpt, resume=False
+        ).collect()
+    }
+    assert got3 == got2
+    assert os.path.exists(f"{ckpt}/converged/_SUCCESS")

@@ -212,3 +212,71 @@ def test_media_meta_plumbing(spark):
     import hashlib
 
     assert got[1]["checksum"] == hashlib.md5(b"payload-one").hexdigest()
+
+
+def test_sharded_plans_match_blas_plans(spark):
+    """The sharded (no-driver-collect) kernels are physical rewrites of the
+    broadcast-matmul kernels — identical results required."""
+    from whoiswho_spark.operators.ann import (
+        brute_force_topk_blas,
+        embedding_neardup_pairs_blas,
+        sharded_neardup_pairs,
+        sharded_topk,
+    )
+
+    rs = np.random.RandomState(13)
+    vecs = rs.randn(60, 16)
+    vecs[7] = vecs[3]  # exact dup → cos-tie at the boundary
+    vecs[11] = 0.0     # zero vector → degenerate norm path
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id bigint, embedding array<double>",
+    )
+    b = {(r["id_a"], r["id_b"], r["cos"])
+         for r in embedding_neardup_pairs_blas(df, threshold=0.3).collect()}
+    s = {(r["id_a"], r["id_b"], r["cos"])
+         for r in sharded_neardup_pairs(df, threshold=0.3, n_shards=5).collect()}
+    assert s == b and len(s) > 0
+
+    t1 = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+          for r in brute_force_topk_blas(df.where("vec_id < 6"), df, k=4).collect()}
+    t2 = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+          for r in sharded_topk(df.where("vec_id < 6"), df, k=4, n_shards=5).collect()}
+    assert t1 == t2 and len(t1) == 24
+
+
+def test_topk_boundary_ties_prefer_smaller_id(spark):
+    """With > k+1 candidates tied at the k-th cosine, the smallest ids win
+    (the argpartition value-only select used to be able to drop them)."""
+    from whoiswho_spark.operators.ann import brute_force_topk_blas, sharded_topk
+
+    # query = e1; ten identical candidates (all cos=1), plus orthogonal noise
+    rows = [(0, [1.0, 0.0])]
+    rows += [(i, [2.0, 0.0]) for i in range(1, 11)]
+    rows += [(i, [0.0, 1.0]) for i in range(11, 15)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.where("vec_id = 0")
+    for fn in (brute_force_topk_blas, sharded_topk):
+        got = sorted(
+            (r["rank"], r["neighbor_id"]) for r in fn(q, df, k=3).collect()
+        )
+        assert got == [(1, 1), (2, 2), (3, 3)], fn.__name__
+
+
+def test_minhash_size_conditional_salting_equals_plain(spark):
+    """Salted-only-when-heavy must equal the unsalted join on a skewed
+    corpus (one mega-bucket of identical docs + a long tail)."""
+    from whoiswho_spark.operators.dedup import minhash_dup_pairs
+
+    rows = [(i, "common boilerplate text shared by every heavy doc") for i in range(40)]
+    rows += [(100 + i, f"unique tail document number {i} with words {i * 7}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dup_pairs(df, salt_min_bucket=10**9).collect()
+    }
+    salted = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dup_pairs(df, n_salts=4, salt_min_bucket=8).collect()
+    }
+    assert salted == plain and len(plain) >= 40 * 39 / 2

@@ -284,3 +284,25 @@ def test_streaming_hourly_matches_batch(spark, tmp_path):
     g = {(r["hour"], r["event_type"]): (r["n_events"], r["total_value"]) for r in got.collect()}
     w = {(r["hour"], r["event_type"]): (r["n_events"], r["total_value"]) for r in batch.collect()}
     assert g == w
+
+
+def test_unify_name_order_single_token():
+    assert unify_name_order("prince") == ("prince", "prince")
+
+
+def test_meta_path_walks_dead_end_keeps_prefix(spark):
+    """A start node with no outgoing edge freezes with its length-1 path
+    instead of vanishing from the output (docstring contract)."""
+    from whoiswho_spark.operators.walks import meta_path_walks
+
+    edges = spark.createDataFrame(
+        [("p1", "ta"), ("p2", "ta")], "pid string, token string"
+    )
+    starts = spark.createDataFrame([("p1",), ("p2",), ("p_lone",)], "pid string")
+    walks = meta_path_walks(edges, n_walks=2, walk_len=4, starts=starts).collect()
+    assert len(walks) == 6  # 3 starts × 2 walks — nothing dropped
+    by_start = {}
+    for r in walks:
+        by_start.setdefault(r["start"], []).append(r["path"])
+    assert all(p == ["p_lone"] for p in by_start["p_lone"])
+    assert all(len(p) == 4 for s in ("p1", "p2") for p in by_start[s])

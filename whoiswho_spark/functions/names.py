@@ -31,6 +31,9 @@ def unify_name_order(name: str) -> tuple[str, str]:
     tok = name.split("_")
     if len(tok) > 2:
         return tok[0] + tok[1] + tok[2], tok[2] + tok[0] + tok[1]
+    if len(tok) == 1:
+        # mononym: no order to unify — both orderings are the name itself
+        return tok[0], tok[0]
     return tok[0] + tok[1], tok[1] + tok[0]
 
 

@@ -133,6 +133,166 @@ def lsh_bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _topk_tie_safe(row: "np.ndarray", cand: "np.ndarray", ids: "np.ndarray", k: int):
+    """Indices (into ``ids``) of the top-k candidates by (-cos, id).
+
+    Tie-safe: argpartition selects by value only, so the k-th boundary
+    value's ties are all widened into the exact (-cos, id) sort — a
+    value-only k+1 partial select can drop the smallest-id tied neighbor
+    (duplicate/zero embeddings after round-to-6dp make boundary ties
+    real)."""
+    if len(cand) > k:
+        part_idx = np.argpartition(-row[cand], k - 1)[:k]
+        kth = row[cand[part_idx]].min()
+        cand = cand[row[cand] >= kth]
+    return sorted(cand, key=lambda j: (-row[j], ids[j]))[:k]
+
+
+def _norm_rows(vals) -> "np.ndarray":
+    m = np.asarray([np.asarray(v, dtype=np.float64) for v in vals])
+    if m.size == 0:
+        return m.reshape(0, 0)
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def sharded_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_shards: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k with NO driver-side corpus collect — the
+    distributed twin of brute_force_topk_blas and the contract plan.
+
+    Shape: corpus hash-shards ONCE on ``pmod(xxhash64(id), n_shards)``;
+    queries replicate n_shards× (queries ≪ corpus by assumption). Each
+    shard group runs one BLAS matmul + per-query tie-safe partial top-k
+    (applyInPandas), emitting ≤ k candidates per (query, shard); a final
+    window top-k over the n_shards·k-row candidate table gives the global
+    answer. Exactness: (-cos, id) is a strict total order, so every global
+    top-k member is in its shard's top-k. Per-task memory = |corpus| /
+    n_shards — tune n_shards to the executor, never the driver.
+
+    Result-identical to brute_force_topk (same round(cos,6) + id
+    tie-break), pytest-verified.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_emb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("_shard"),
+        F.lit("c").alias("_role"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_emb"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("_shard"),
+        F.lit("q").alias("_role"),
+    )
+
+    def shard_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []})
+        cm = pdf[pdf["_role"] == "c"]
+        qm = pdf[pdf["_role"] == "q"]
+        if cm.empty or qm.empty:
+            return empty
+        ids = cm["_id"].to_numpy()
+        mat = _norm_rows(cm["_emb"])
+        q_ids = qm["_id"].to_numpy()
+        q_mat = _norm_rows(qm["_emb"])
+        sims = np.round(q_mat @ mat.T, 6)
+        out = {"query_id": [], "neighbor_id": [], "cos": []}
+        for i, qid in enumerate(q_ids):
+            row = sims[i]
+            cand = np.flatnonzero(ids != qid)
+            for j in _topk_tie_safe(row, cand, ids, k):
+                out["query_id"].append(qid)
+                out["neighbor_id"].append(ids[j])
+                out["cos"].append(float(row[j]))
+        return pd.DataFrame(out)
+
+    cands = (
+        c.unionByName(q)
+        .groupBy("_shard")
+        .applyInPandas(
+            shard_topk, schema="query_id bigint, neighbor_id bigint, cos double"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return cands.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def sharded_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_shards: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-dup pairs with NO driver-side collect — the
+    blocked all-pairs matmul and the contract plan.
+
+    Shape: hash-shard on id into n_shards pieces; every unordered pair of
+    shards (i ≤ j) is one group, so each row replicates n_shards+1× and
+    each task multiplies two shard matrices (memory 2·|corpus|/n_shards).
+    n_shards trades replication O(P) against per-task memory O(n/P) —
+    the classic exact blocked scheme. At 100 TB, LSH-bucket first
+    (embedding_neardup_pairs with n_planes>0) and run this kernel inside
+    each bucket; exact mode is the oracle-checked default.
+
+    Result-identical to embedding_neardup_pairs_blas (pytest-verified).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_emb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("_s"),
+    )
+    # row with shard s is the A side of blocks (s, j≥s) and the B side of
+    # blocks (i≤s, s); each unordered pair of rows meets in exactly one block
+    a_side = v.select(
+        "_id",
+        "_emb",
+        F.col("_s").alias("_bi"),
+        F.explode(F.sequence(F.col("_s"), F.lit(n_shards - 1))).alias("_bj"),
+        F.lit("a").alias("_role"),
+    )
+    b_side = v.select(
+        "_id",
+        "_emb",
+        F.explode(F.sequence(F.lit(0), F.col("_s"))).alias("_bi"),
+        F.col("_s").alias("_bj"),
+        F.lit("b").alias("_role"),
+    )
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        am = pdf[pdf["_role"] == "a"]
+        bm = pdf[pdf["_role"] == "b"]
+        if am.empty or bm.empty:
+            return empty
+        same_block = pdf["_bi"].iat[0] == pdf["_bj"].iat[0]
+        a_ids = am["_id"].to_numpy()
+        b_ids = bm["_id"].to_numpy()
+        a_mat = _norm_rows(am["_emb"])
+        b_mat = _norm_rows(bm["_emb"])
+        sims = np.round(a_mat @ b_mat.T, 6)
+        keep = sims >= threshold
+        if same_block:
+            # A set == B set here: the id inequality takes each pair once
+            keep &= a_ids[:, None] < b_ids[None, :]
+        ii, jj = np.nonzero(keep)
+        lo = np.minimum(a_ids[ii], b_ids[jj])
+        hi = np.maximum(a_ids[ii], b_ids[jj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": sims[ii, jj]})
+
+    return (
+        a_side.unionByName(b_side)
+        .groupBy("_bi", "_bj")
+        .applyInPandas(block_pairs, schema="id_a bigint, id_b bigint, cos double")
+    )
+
+
 def brute_force_topk_blas(
     queries: DataFrame,
     corpus: DataFrame,
@@ -172,10 +332,7 @@ def brute_force_topk_blas(
                 row = sims[i]
                 mask = ids != qid
                 cand = np.flatnonzero(mask)
-                # top-k by (-cos, id): partial-select then exact sort
-                take = min(k + 1, len(cand))
-                part = cand[np.argpartition(-row[cand], take - 1)[:take]]
-                part = sorted(part, key=lambda j: (-row[j], ids[j]))[:k]
+                part = _topk_tie_safe(row, cand, ids, k)
                 for r, j in enumerate(part, 1):
                     out["query_id"].append(qid)
                     out["neighbor_id"].append(ids[j])

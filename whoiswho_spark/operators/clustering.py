@@ -82,11 +82,31 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _delete_path(spark, path: str) -> None:
+    """Recursive delete via Hadoop FS (local paths and object stores alike)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+class ConvergenceError(RuntimeError):
+    """Raised when the CC loop exhausts max_iter without a checksum fixpoint.
+
+    With a ``checkpoint_dir`` the completed iterations are on disk, so a
+    rerun with a larger ``max_iter`` resumes from the last iteration rather
+    than restarting the loop.
+    """
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    resume: bool = True,
 ) -> DataFrame:
     """edges(src, dst) → (url, cluster_id STRING = component-min node id).
 
@@ -97,6 +117,17 @@ def connected_components(
     a parquet checkpoint per iteration (``iter_k`` dirs with _SUCCESS
     markers), so a killed job resumes MID-STAGE from the last completed
     iteration instead of recomputing the loop (north-rule resumability).
+
+    Checkpoint safety: the dir is keyed by a content checksum of the INPUT
+    edge set (count + order-insensitive xxhash64 XOR, stored in
+    ``input_checksum``). A resumed run whose input no longer matches — the
+    threshold changed, the pairs were regenerated — wipes the stale state
+    and recomputes instead of silently returning the previous run's
+    clusters. ``resume=False`` wipes unconditionally. The ``converged``
+    marker is written ONLY when the fixpoint was actually observed; if the
+    loop exhausts ``max_iter`` first, :class:`ConvergenceError` is raised
+    (never wrong labels), and a resumed run with a larger ``max_iter``
+    continues from the last checkpointed iteration.
 
     ``vertices`` (column ``url``): optional universe; isolated vertices
     become singleton clusters labeled by themselves.
@@ -117,11 +148,12 @@ def connected_components(
         from whoiswho_spark.plans.metrics import _success_exists
 
         last = -1
-        for it in range(max_iter):
-            if _success_exists(spark, f"{checkpoint_dir}/iter_{it}"):
-                last = it
-            else:
-                break
+        it = 0
+        # scan past max_iter too: a resumed run may have a SMALLER max_iter
+        # than the run that wrote the checkpoints
+        while _success_exists(spark, f"{checkpoint_dir}/iter_{it}"):
+            last = it
+            it += 1
         if last < 0:
             return -1, None
         return last, spark.read.parquet(f"{checkpoint_dir}/iter_{last}")
@@ -132,6 +164,26 @@ def connected_components(
             F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
         ).collect()[0]
         return (row["n"], row["h"])
+
+    if checkpoint_dir is not None:
+        from whoiswho_spark.plans.metrics import _success_exists
+
+        # Key the checkpoint state by the input edges' content checksum so a
+        # stale dir (different edges, same workdir) is never silently reused.
+        input_sum = _checksum(edges)
+        stored_sum = None
+        if not resume:
+            _delete_path(spark, checkpoint_dir)
+        elif _success_exists(spark, f"{checkpoint_dir}/input_checksum"):
+            row = spark.read.parquet(f"{checkpoint_dir}/input_checksum").collect()[0]
+            stored_sum = (row["n"], row["h"])
+        if stored_sum != input_sum:
+            _delete_path(spark, checkpoint_dir)
+            spark.createDataFrame(
+                [input_sum], "n bigint, h bigint"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{checkpoint_dir}/input_checksum"
+            )
 
     start_iter, resumed = _resume_point()
     already_converged = False
@@ -149,12 +201,25 @@ def connected_components(
         prev = None
 
     if not already_converged:
+        converged = False
         for it in range(start_iter + 1, max_iter):
             edges = _persist(_small_star(_large_star(edges)), it)
             cur = _checksum(edges)
             if cur == prev:
+                converged = True
                 break
             prev = cur
+        if not converged:
+            raise ConvergenceError(
+                f"connected_components hit max_iter={max_iter} without reaching "
+                "the edge-set fixpoint; labels would be wrong. Rerun with a "
+                "larger max_iter"
+                + (
+                    " (resume continues from the last checkpointed iteration)"
+                    if checkpoint_dir
+                    else ""
+                )
+            )
         if checkpoint_dir is not None:
             spark.range(1).write.mode("overwrite").parquet(
                 f"{checkpoint_dir}/converged"

@@ -96,29 +96,48 @@ def minhash_dup_pairs(
     num_hashes: int = 4,
     rows_per_band: int = 2,
     n_salts: int = 8,
+    salt_min_bucket: int = 512,
 ) -> DataFrame:
     """Candidate dup pairs from shared LSH buckets (deduped across bands).
 
     Boilerplate-heavy corpora produce mega-buckets (one bucket at sf0.1
     holds 3k docs → ~5M pairs); a plain bucket join puts each bucket's
-    quadratic work on ONE task. The salted replicate-join splits it
-    across n_salts tasks with the identical result set (same trick as
-    pairs.salted_candidate_pairs, numeric-id ordering preserved).
+    quadratic work on ONE task. SIZE-CONDITIONAL salting: one cheap
+    bucket-size aggregate first (the block_stats pattern), then only
+    buckets with ≥ ``salt_min_bucket`` members get the n_salts×
+    replicate-join — identical result set, ~1× shuffle for the long tail
+    of tiny buckets instead of an unconditional n_salts× blow-up. The
+    heavy-bucket key list is tiny by construction (≤ |corpus| /
+    salt_min_bucket keys) and is broadcast.
     """
     bk = minhash_band_buckets(df, text_col, id_col, num_hashes, rows_per_band)
+    heavy = (
+        bk.groupBy("band", "bucket")
+        .agg(F.count("*").alias("_bsz"))
+        .where(F.col("_bsz") >= salt_min_bucket)
+        .select("band", "bucket", F.lit(True).alias("_heavy"))
+    )
+    bk = bk.join(F.broadcast(heavy), ["band", "bucket"], "left")
     a = bk.select(
         F.col("band"),
         F.col("bucket"),
         F.col(id_col).alias("id_a"),
-        F.pmod(hash60(F.col(id_col).cast("string"), "mhsalt"), F.lit(n_salts)).alias(
-            "_salt"
-        ),
+        F.when(
+            F.col("_heavy"),
+            F.pmod(hash60(F.col(id_col).cast("string"), "mhsalt"), F.lit(n_salts)),
+        )
+        .otherwise(F.lit(0))
+        .alias("_salt"),
     )
     b = bk.select(
         F.col("band"),
         F.col("bucket"),
         F.col(id_col).alias("id_b"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt"),
+        F.explode(
+            F.when(
+                F.col("_heavy"), F.sequence(F.lit(0), F.lit(n_salts - 1))
+            ).otherwise(F.array(F.lit(0)))
+        ).alias("_salt"),
     )
     return (
         a.join(b, ["band", "bucket", "_salt"])

@@ -47,14 +47,23 @@ def meta_path_walks(
     seed: int = 42,
     node_col: str = "pid",
     token_col: str = "token",
+    starts: DataFrame | None = None,
 ) -> DataFrame:
     """edges(pid, token) bipartite → walks(walk_id, start, path ARRAY<STRING>).
 
     walk_len counts paper-nodes in the path (like the reference's
     numwalklength over paper hops). Dead ends terminate the walk early
-    (path keeps its prefix).
+    (path keeps its prefix — a frozen walk is carried forward, not
+    dropped). ``starts`` (column ``node_col``) defaults to every node in
+    ``edges``; pass it explicitly to walk from a universe that includes
+    token-less nodes (the reference walks every paper in the block,
+    relational_features.py:100-107, even ones contributing no tokens —
+    those emit a length-1 path here).
     """
-    starts = edges.select(node_col).distinct()
+    if starts is None:
+        starts = edges.select(node_col).distinct()
+    else:
+        starts = starts.select(node_col).distinct()
     cur = starts.select(
         F.col(node_col).alias("node"),
         F.explode(
@@ -65,16 +74,23 @@ def meta_path_walks(
         F.col("node").alias("start"),
         F.col("node"),
         F.array(F.col("node")).alias("path"),
+        F.lit(False).alias("done"),
     )
 
     fwd = edges.select(F.col(node_col).alias("node"), F.col(token_col).alias("tok"))
     bwd = edges.select(F.col(token_col).alias("tok"), F.col(node_col).alias("nxt"))
 
     for step in range(walk_len - 1):
+        # frozen (dead-ended) walks carry their prefix forward — no joins,
+        # just a union back in at the end of the step
+        active = cur.where(~F.col("done")).drop("done")
+        frozen = cur.where(F.col("done"))
         # hop 1: node → one token (independent pick per walk+step: the
-        # hash mixes walk_id, step, seed, and the candidate)
+        # hash mixes walk_id, step, seed, and the candidate). LEFT join:
+        # a node with no outgoing edge yields one null-token row, which
+        # freezes the walk with its prefix intact instead of dropping it.
         hop1 = _pick_one(
-            cur.join(fwd, "node").withColumn(
+            active.join(fwd, "node", "left").withColumn(
                 "_pick",
                 hash60(
                     F.concat_ws("#", "walk_id", F.lit(str(step)), F.lit(str(seed)), "tok"),
@@ -83,10 +99,18 @@ def meta_path_walks(
             ),
             "walk_id",
             "_pick",
-        ).select("walk_id", "start", "path", "tok")
-        # hop 2: token → one next paper (per walk)
+        ).select("walk_id", "start", "node", "path", "tok")
+        newly_dead = hop1.where(F.col("tok").isNull()).select(
+            "walk_id", "start", "node", "path", F.lit(True).alias("done")
+        )
+        # hop 2: token → one next paper (per walk). Every token reached via
+        # hop 1 has at least the back-edge it came from, so hop 2 cannot
+        # dead-end on a bipartite edge table.
         hop2 = _pick_one(
-            hop1.join(bwd, "tok").withColumn(
+            hop1.where(F.col("tok").isNotNull())
+            .select("walk_id", "start", "path", "tok")
+            .join(bwd, "tok")
+            .withColumn(
                 "_pick",
                 hash60(
                     F.concat_ws("#", "walk_id", F.lit(str(step)), F.lit(str(seed)), "nxt"),
@@ -100,8 +124,9 @@ def meta_path_walks(
             "start",
             F.col("nxt").alias("node"),
             F.concat(F.col("path"), F.array(F.col("nxt"))).alias("path"),
+            F.lit(False).alias("done"),
         )
-        cur = hop2
+        cur = hop2.unionByName(newly_dead).unionByName(frozen)
         if step % 5 == 4:
             cur = cur.localCheckpoint()
 

@@ -218,8 +218,11 @@ def run_pipeline(
             edges,
             vertices=payload.select("url"),
             # per-iteration parquet checkpoints → mid-stage resume of the
-            # CC loop itself (north rule), not just stage-level skip
+            # CC loop itself (north rule), not just stage-level skip;
+            # keyed by input checksum inside connected_components so a
+            # changed edge set never reuses stale iterations
             checkpoint_dir=f"{workdir}/cc_checkpoints",
+            resume=cfg.resume,
         ),
         cfg.resume,
     )
