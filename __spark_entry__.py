@@ -528,6 +528,69 @@ def _q_knrm_features(spark, sf):
     )
 
 
+# Deterministic synthetic raw names for the §2.2 name-function surface —
+# adversarial cases from the reference's own __main__ plus nickname/
+# stopword/diacritic/initials forms. Indexed by c_custkey % 13 in BOTH
+# engines; the oracle's expected values are FROZEN GOLDENS minted by
+# running the reference functions (tests/test_name_match.py docstring).
+_SYNTH_NAMES = [
+    "m ćwiok", "m. ćwiok", "JX Wang", "Dr. Bill O'Neil Jr", "j.x. wang",
+    "Liz  van der Berg", "A. B. chuck III", "  ", "Tom-Hanks 3rd",
+    "PAT smith", "ted", "jan k. nowak", "ÅSA Öberg",
+]
+
+
+def _synth_name_col(key_col, offset: int = 0):
+    idx = F.pmod(key_col + F.lit(offset), F.lit(len(_SYNTH_NAMES))).cast("int")
+    return F.element_at(F.array(*[F.lit(n) for n in _SYNTH_NAMES]), idx + F.lit(1))
+
+
+def _q_name_normalize_census(spark, sf):
+    """tokenize_name (nickname dict + stopwords) and clean_name
+    (alpha-only fold) over deterministic synthetic names — reference
+    tool/token.py:102-119 / feature_process.py:161-173. Oracle = frozen
+    reference-minted goldens keyed by the same name index."""
+    from whoiswho_spark.functions.name_match import clean_name_udf, tokenize_name_udf
+
+    raw = _synth_name_col(F.col("c_custkey"))
+    return (
+        _t(spark, sf, "customer")
+        .select("c_custkey", raw.alias("raw_name"))
+        .select(
+            "c_custkey",
+            "raw_name",
+            tokenize_name_udf(F.col("raw_name")).alias("tokenized"),
+            clean_name_udf(F.col("raw_name")).alias("cleaned"),
+        )
+    )
+
+
+def _q_name_match_pairs(spark, sf):
+    """7-matcher battery (tool/util.py:141-252, dispatch match_name.py:
+    7-15) over cleaned synthetic name pairs, strict + loose modes.
+    Oracle = frozen reference-minted goldens."""
+    from whoiswho_spark.functions.name_match import (
+        clean_name_udf,
+        names_match_loose_udf,
+        names_match_udf,
+    )
+
+    a = _synth_name_col(F.col("c_custkey"))
+    b = _synth_name_col(F.col("c_custkey"), offset=3)
+    df = _t(spark, sf, "customer").select(
+        "c_custkey", a.alias("name_a"), b.alias("name_b")
+    )
+    ca = clean_name_udf(F.col("name_a"))
+    cb = clean_name_udf(F.col("name_b"))
+    return df.select(
+        "c_custkey",
+        "name_a",
+        "name_b",
+        names_match_udf(ca, cb).alias("matched_strict"),
+        names_match_loose_udf(ca, cb).alias("matched_loose"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "block_stats": _q_block_stats,
@@ -563,7 +626,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knrm_features": _q_knrm_features,
         "salted_distinct_count": _q_salted_distinct_count,
         "ivf_topk": _q_ivf_topk,
+        "name_normalize_census": _q_name_normalize_census,
+        "name_match_pairs": _q_name_match_pairs,
     }
+
+
+# FROZEN reference-minted goldens for the name oracles (NOT computed from
+# this repo's implementation — minted by running the reference functions;
+# see tests/test_name_match.py). Index = c_custkey % 13.
+_NAME_TOKENIZED_GOLDENS = [
+    "m cwiok", "m. cwiok", "j x wang", "william oneil", "j x wang",
+    "elizabeth van der berg", "a. b. charles", "", "thomas hanks 3rd",
+    "patricia smith", "edward", "janice k. nowak", "asa oberg",
+]
+_NAME_CLEANED_GOLDENS = [
+    "m cwiok", "m cwiok", "jx wang", "dr bill o neil jr", "j x wang",
+    "liz van der berg", "a b chuck iii", "", "tom hanks rd",
+    "pat smith", "ted", "jan k nowak", "asa oberg",
+]
+
+
+def _dd_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+_dd_names = "[" + ", ".join(_dd_str(n) for n in _SYNTH_NAMES) + "]"
+
+
+def _dd_case(idx_expr: str, values: list[str]) -> str:
+    whens = " ".join(
+        f"when {i} then {_dd_str(v)}" for i, v in enumerate(values)
+    )
+    return f"(case {idx_expr} {whens} end)"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -863,6 +957,23 @@ def oracle_sql() -> dict[str, str]:
             select l_suppkey as suppkey,
                    cast(count(distinct l_partkey) as bigint) as n_distinct
             from lineitem group by l_suppkey
+        """,
+        "name_normalize_census": f"""
+            with k as (select c_custkey, cast(c_custkey % 13 as int) as i from customer)
+            select c_custkey,
+                   list_extract({_dd_names}, i + 1) as raw_name,
+                   {_dd_case('i', _NAME_TOKENIZED_GOLDENS)} as tokenized,
+                   {_dd_case('i', _NAME_CLEANED_GOLDENS)} as cleaned
+            from k
+        """,
+        "name_match_pairs": f"""
+            with k as (select c_custkey, cast(c_custkey % 13 as int) as i from customer)
+            select c_custkey,
+                   list_extract({_dd_names}, i + 1) as name_a,
+                   list_extract({_dd_names}, ((i + 3) % 13) + 1) as name_b,
+                   (i = 7) as matched_strict,
+                   (i = 4 or i = 7) as matched_loose
+            from k
         """,
         # simhash_pairs, media_meta, lsh_ann_topk, knrm_features, ivf_topk:
         # no SQL oracle (pandas-UDF bit/kernel math, mapInPandas,

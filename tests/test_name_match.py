@@ -1,0 +1,174 @@
+"""Reference-parity goldens for the name-matching engine.
+
+Every expected value below was MINTED BY RUNNING THE REFERENCE CODE
+(tool/token.py tokenize_name, feature_process.py clean_name,
+tool/util.py match_name_one..seven with is_chinese_name stubbed False —
+the non-Chinese branch every Latin name takes) with unidecode replaced
+by the same NFKD fold this repo uses (parity note in
+whoiswho_spark/functions/name_match.py).
+"""
+
+from whoiswho_spark.functions.name_match import (
+    MATCHERS,
+    clean_name,
+    find_main,
+    matched_coauthors,
+    names_match,
+    tokenize_name,
+)
+
+TOKENIZE_GOLDENS = {
+    "m ćwiok": "m cwiok",
+    "m. ćwiok": "m. cwiok",
+    "JX Wang": "j x wang",
+    "Dr. Bill O'Neil Jr": "william oneil",
+    "j.x. wang": "j x wang",
+    "Liz  van der Berg": "elizabeth van der berg",
+    "A. B. chuck III": "a. b. charles",
+    "  ": "",
+    "Tom-Hanks 3rd": "thomas hanks 3rd",
+    "PAT smith": "patricia smith",
+    "ted": "edward",
+    "jan k. nowak": "janice k. nowak",
+    "ÅSA Öberg": "asa oberg",
+}
+
+CLEAN_GOLDENS = {
+    "Jing-3 Zhang": "jing zhang",
+    "O'Neil, Bill": "o neil bill",
+    "li2ming": "li ming",
+    "ĆWIOK m.": "cwiok m",
+    "a..b": "a b",
+    "x9y 7z": "x y z",
+    "": "",
+}
+
+# (a, b) → (per-matcher strict 7-vector, per-matcher loose 7-vector)
+MATCHER_GOLDENS = {
+    ("jing zhang", "jing zhang"): ([1, 1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 0, 0, 0]),
+    ("j zhang", "jing zhang"): ([0, 1, 1, 1, 0, 0, 0], [0, 1, 1, 1, 0, 0, 0]),
+    ("j. x. zhang", "jing xuan zhang"): ([0, 0, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0, 0]),
+    ("jing zhang", "zhang jing"): ([1, 1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 0, 0, 0]),
+    ("bill smith", "william smith"): ([0, 0, 0, 0, 0, 0, 0], [0, 0, 0, 0, 0, 0, 0]),
+    ("jing x zhang", "jing zhang"): ([1, 0, 0, 0, 0, 0, 0], [1, 1, 0, 0, 0, 0, 0]),
+    ("jingxuan zhang", "jing xuan zhang"): ([1, 0, 0, 0, 0, 0, 0], [1, 1, 0, 0, 0, 0, 0]),
+    ("wei wang li", "wei wang l"): ([0, 0, 0, 0, 1, 1, 0], [0, 1, 0, 0, 1, 1, 0]),
+    ("wei wang li", "wei wang lii"): ([0, 0, 0, 1, 1, 0, 0], [0, 1, 0, 1, 1, 0, 0]),
+    ("a b chen", "alpha beta chen"): ([0, 1, 1, 1, 0, 0, 0], [0, 1, 1, 1, 0, 0, 0]),
+    ("m cwiok", "marek cwiok"): ([0, 1, 1, 1, 0, 0, 0], [0, 1, 1, 1, 0, 0, 0]),
+    ("jon smith", "jonathan smith"): ([0, 0, 0, 1, 0, 0, 0], [0, 1, 0, 1, 0, 0, 0]),
+    ("jing zhang", "jing zhan"): ([0, 0, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0, 0]),
+    ("x y", "xavier young"): ([0, 1, 1, 1, 0, 0, 0], [0, 1, 1, 1, 0, 0, 0]),
+    ("li m hua", "li hua"): ([1, 0, 0, 0, 0, 0, 0], [1, 1, 0, 0, 0, 0, 0]),
+    ("li hua", "li m hua"): ([1, 0, 1, 1, 0, 0, 0], [1, 1, 1, 1, 0, 0, 0]),
+    ("robert de niro", "robert d niro"): ([0, 0, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0, 0]),
+    ("j k rowling", "joanne kathleen rowling"): (
+        [0, 1, 1, 1, 0, 0, 0],
+        [0, 1, 1, 1, 0, 0, 0],
+    ),
+    ("anna maria lopez", "anna maria lope"): (
+        [0, 0, 0, 0, 1, 0, 0],
+        [0, 1, 0, 0, 1, 0, 0],
+    ),
+    ("wei li", "wei liu"): ([0, 0, 0, 1, 0, 0, 0], [0, 1, 0, 1, 0, 0, 0]),
+}
+
+
+def test_tokenize_name_reference_goldens():
+    for raw, want in TOKENIZE_GOLDENS.items():
+        assert tokenize_name(raw) == want, raw
+
+
+def test_clean_name_reference_goldens():
+    for raw, want in CLEAN_GOLDENS.items():
+        assert clean_name(raw) == want, raw
+
+
+def test_matcher_battery_reference_goldens():
+    for (a, b), (strict, loose) in MATCHER_GOLDENS.items():
+        got_strict = [int(f(a, b, False)) for f in MATCHERS]
+        got_loose = [int(f(a, b, True)) for f in MATCHERS]
+        assert got_strict == strict, (a, b, "strict", got_strict)
+        assert got_loose == loose, (a, b, "loose", got_loose)
+        assert names_match(a, b) == any(strict), (a, b)
+        assert names_match(a, b, loose=True) == any(loose), (a, b)
+
+
+def test_matched_coauthors_loose_path():
+    """tool/match_name.py:55-88 semantics: raw names matched via cleaned
+    forms, result mapped back through name2clean."""
+    got = matched_coauthors(
+        ["Jing Zhang", "Wei Li"],
+        ["J. Zhang", "Wei Liu", "Totally Different"],
+        loose=True,
+    )
+    assert got == {"j zhang", "wei liu"}
+    assert matched_coauthors([], ["J. Zhang"]) == set()
+
+
+def test_find_main_token_fallback():
+    """findMain retries with tokenize_name (nickname-expanded) forms:
+    'Bill Smith' only matches 'william smith' after nickname expansion."""
+    matched, leftovers = find_main("Bill Smith", ["william smith", "jane doe"])
+    assert [m[0] for m in matched] == ["william smith"]
+    assert leftovers == {"jane doe"}
+
+
+def test_names_match_udf_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from whoiswho_spark.functions.name_match import (
+        clean_name_udf,
+        names_match_loose_udf,
+        tokenize_name_udf,
+    )
+
+    rows = [(a, b) for (a, b) in MATCHER_GOLDENS]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = {
+        (r["a"], r["b"]): r["m"]
+        for r in df.select(
+            "a", "b", names_match_loose_udf(F.col("a"), F.col("b")).alias("m")
+        ).collect()
+    }
+    for (a, b), (_, loose) in MATCHER_GOLDENS.items():
+        assert got[(a, b)] == any(loose), (a, b)
+
+    tok = spark.createDataFrame(
+        [(k,) for k in TOKENIZE_GOLDENS], "raw string"
+    ).select(
+        "raw",
+        tokenize_name_udf(F.col("raw")).alias("tok"),
+        clean_name_udf(F.col("raw")).alias("cln"),
+    )
+    for r in tok.collect():
+        assert r["tok"] == TOKENIZE_GOLDENS[r["raw"]]
+        assert r["cln"] == clean_name(r["raw"])
+
+
+def test_coauthor_matcher_features_reference_path():
+    """feature_process.py:256-335: matched-set rareness over CLEANED names
+    with per-segment get_name_uniq (default 10/segment)."""
+    from whoiswho_spark.functions.hand_features import (
+        coauthor_matcher_features,
+        get_name_uniq,
+    )
+
+    uniq = {"jing": 2.0, "zhang": 1.0, "j": 0.5, "wei": 3.0}
+    assert get_name_uniq("j zhang", uniq) == 1.5
+    assert get_name_uniq("wei liu", uniq) == 13.0  # liu → default 10
+
+    out = coauthor_matcher_features(
+        ["Jing Zhang", "Wei Li"],
+        [["J. Zhang", "Someone Else"], ["Wei Liu"]],
+        uniq,
+    )
+    # matched = {j zhang, wei liu}; paper mass = 3 + 13; candi mass =
+    # 1.5 + 20 + 13
+    assert out[0] == 14.5
+    assert abs(out[1] - round(14.5 / (16 + 1e-8), 6)) < 1e-12
+    assert out[2] == 14.5
+    assert abs(out[3] - round(14.5 / (34.5 + 1e-8), 6)) < 1e-12
+
+    assert coauthor_matcher_features([], [["x"]], uniq) == [0.0] * 4
+    assert coauthor_matcher_features(["a"], [], uniq) == [0.0] * 4

@@ -83,3 +83,42 @@ RND_NIL_THRESHOLD = 0.65
 
 # Year sanitization window (data_process.py:330-337).
 YEAR_MIN, YEAR_MAX = 1500, 2023
+
+# --- name tokenization contract (reference name_match/tool/token.py:4-101) ---
+# Behavioral-contract data, reproduced verbatim (like STOPWORDS/PUNCS above):
+# the dict's quirks are part of the contract — compound "a: b" keys are
+# unreachable by single-token lookup, and duplicate keys resolve to the
+# LAST literal entry (fran→frances, jan→janice, pat→patricia, ted→edward),
+# exactly as Python resolves the reference's dict literal.
+NAME_STOPWORDS = {"jr", "iii", "dr", "mr", "junior"}
+
+NICKNAME_DICT = {
+    "al": "albert", "andy": "andrew", "tony": "anthony", "art": "arthur",
+    "arty": "arthur", "bernie": "bernard", "bern": "bernard",
+    "charlie": "charles", "chuck": "charles", "danny": "daniel",
+    "dan": "daniel", "don": "donald", "ed": "edward", "eddie": "edward",
+    "gene": "eugene", "freddy": "frederick", "fred": "frederick",
+    "hank": "henry", "irv": "irving", "jimmy": "james", "jim": "james",
+    "joe": "joseph", "jacky": "john", "jack": "john", "jeff": "jeffrey",
+    "ken": "kenneth", "larry": "lawrence", "leo": "leonard",
+    "matt": "matthew", "mike": "michael", "nate": "nathan", "nat": "nathan",
+    "nick": "nicholas", "pete": "peter", "ray": "raymond",
+    "dick": "richard", "rick": "richard",
+    "bob: bobby: rob": "robert", "ron: ronny": "ronald", "russ": "russell",
+    "sam: sammy": "samuel", "steve": "stephan", "stu": "stuart",
+    "teddy": "theodore", "tom": "thomas", "thom": "thomas",
+    "tommy": "thomas", "timmy": "timothy", "tim": "timothy",
+    "walt": "walter", "wally": "walter", "bill": "william",
+    "billy": "william", "will": "william", "willy": "william",
+    "mandy": "amanda", "cathy": "catherine", "cath": "catherine",
+    "chris": "christopher", "chrissy": "christine", "cindy: cynth": "cynthia",
+    "debbie": "deborah", "deb": "deborah", "betty": "elizabeth",
+    "beth": "elizabeth", "liz": "elizabeth", "bess": "elizabeth",
+    "flo": "florence", "francie": "frances", "fran": "frances",
+    "kate": "katherine", "kathy": "katherine", "jan": "janice",
+    "nan": "nancy", "pam": "pamela", "pat": "patricia",
+    "bobbie": "roberta", "sophie": "sophia", "sue": "susan",
+    "suzie": "susan", "terry": "teresa", "val": "valerie",
+    "ronnie": "veronica", "vonna": "yvonne", "peggy": "margaret",
+    "ted": "edward", "sally": "sarah", "harry": "henry",
+}

@@ -123,6 +123,68 @@ def coauthor_tfidf_features(
     ]
 
 
+def get_name_uniq(name_c: str, name_uniq: dict[str, float], default_uniq: float = 10.0) -> float:
+    """Per-segment name rareness sum (feature_process.py:175-182):
+    split the CLEANED name, look each segment up in the rareness dict,
+    default 10 per unknown segment."""
+    return sum(
+        name_uniq.get(seg.strip(" "), default_uniq)
+        for seg in (name_c or "").lower().split()
+    )
+
+
+def coauthor_matcher_features(
+    paper_names: list[str],
+    candi_names_lists: list[list[str]],
+    name_uniq: dict[str, float],
+    default_uniq: float = 10.0,
+) -> list[float]:
+    """The reference-parity coauthor channel (feature_process.py:256-335):
+    clean every raw name (clean_name, alpha-only fold), run the loose
+    7-matcher battery paper-names × each candidate paper's names
+    (MatchName at :312), and compute the 4 rareness features over the
+    MATCHED cleaned set — unlike :py:func:`coauthor_tfidf_features`,
+    which is the exact-intersection fast path.
+
+    candi author counts are keyed by CLEANED name (:281-283); rareness is
+    the per-segment sum of :py:func:`get_name_uniq`.
+    """
+    from whoiswho_spark.functions.name_match import clean_name, matched_coauthors
+
+    paper_names = list(paper_names or [])[:50]
+    name2clean: dict[str, str] = {}
+    for n in paper_names:
+        name2clean.setdefault(n, clean_name(n))
+    candi2int: dict[str, int] = {}
+    filtered: list[list[str]] = []
+    for names in candi_names_lists or []:
+        names = list(names or [])[:50]
+        for n in names:
+            c = name2clean.setdefault(n, clean_name(n))
+            candi2int[c] = candi2int.get(c, 0) + 1
+        filtered.append(names)
+    if not paper_names or not candi2int:
+        return [0.0] * 4
+
+    coauthors: set[str] = set()
+    for names in filtered:
+        coauthors |= matched_coauthors(paper_names, names, name2clean, loose=True)
+
+    def _uniq(c: str) -> float:
+        return get_name_uniq(c, name_uniq, default_uniq)
+
+    coauthor_tfidf = sum(_uniq(c) for c in coauthors)
+    counted = sum(candi2int.get(c, 1) * _uniq(c) for c in coauthors)
+    paper_tfidf = sum(_uniq(name2clean[n]) for n in paper_names)
+    author_tfidf = sum(_uniq(c) * cnt for c, cnt in candi2int.items())
+    return [
+        float(coauthor_tfidf),
+        round(coauthor_tfidf / (paper_tfidf + 1e-8), 6),
+        float(counted),
+        round(counted / (author_tfidf + 1e-8), 6),
+    ]
+
+
 def field_features_udf_factory(idf: dict[str, float], default_idf: float):
     """pandas UDF: (attr_a STRING, attrs_b ARRAY<STRING>) → ARRAY<DOUBLE>[8].
     ``idf`` rides the closure → broadcast once per executor."""
