@@ -361,15 +361,27 @@ def _q_simhash_pairs(spark, sf):
 
 
 def _q_media_meta(spark, sf):
-    """Multimodal plumbing: text→BINARY payload → mapInPandas metadata
-    (decode stubbed; schema/batch shape real). No SQL oracle for the
-    mapInPandas stage — rows-only check."""
-    from whoiswho_spark.operators.multimodal import extract_media_meta
+    """Multimodal metadata extraction: synthetic PNG/JPEG/GIF binaries
+    (dimensions derived from doc columns, built in pure Catalyst) →
+    mapInPandas REAL header decode (IHDR / SOF scan / logical screen
+    descriptor). The oracle recomputes the expected dimensions from the
+    same doc columns — a true end-to-end check of the binary round-trip."""
+    from whoiswho_spark.operators.multimodal import (
+        extract_media_meta,
+        synthetic_media_payload_col,
+    )
 
     docs = _t(spark, sf, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+        "doc_id",
+        synthetic_media_payload_col(
+            F.pmod(F.col("doc_id"), F.lit(3)),
+            F.lit(1) + F.pmod(F.col("n_chars"), F.lit(2048)),
+            F.lit(1) + F.pmod(F.col("doc_id"), F.lit(1024)),
+        ).alias("payload"),
     )
-    return extract_media_meta(docs)
+    return extract_media_meta(docs).select(
+        "doc_id", "n_bytes", "media_type", "width", "height"
+    )
 
 
 def _q_lsh_ann_topk(spark, sf):
@@ -591,6 +603,35 @@ def _q_name_match_pairs(spark, sf):
     )
 
 
+def _q_bond_threshold_edges(spark, sf):
+    """BOND a/o/v threshold case matrix (bond/dataset/load_data.py:
+    93-171) over a synthetic typed-edge table derived from orders; the
+    reference's random v-gate is the seeded-hash uniform (portable)."""
+    from whoiswho_spark.operators.bond_edges import bond_threshold_edges
+
+    o = _t(spark, sf, "orders")
+    edges = o.select(
+        F.col("o_custkey").alias("src"),
+        F.col("o_orderkey").alias("dst"),
+        (F.col("o_orderkey") % 4).alias("val_a"),
+        (F.col("o_custkey") % 3).alias("val_o"),
+        ((F.col("o_orderkey") % 10) / F.lit(10.0)).alias("attr_o"),
+        (F.col("o_orderkey") % 5).alias("val_v"),
+        ((F.col("o_custkey") % 7) / F.lit(7.0)).alias("attr_v"),
+    )
+    out = bond_threshold_edges(
+        edges, rel_on="aov", th_a=1, th_o=0.5, th_v=1, coo_th=0.5, prob_v=0.9
+    )
+    return out.select(
+        "src",
+        "dst",
+        F.round("value", 6).alias("value"),
+        F.round("attr_a", 6).alias("attr_a"),
+        F.round("attr_o", 6).alias("attr_o"),
+        F.round("attr_v", 6).alias("attr_v"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "block_stats": _q_block_stats,
@@ -628,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "name_normalize_census": _q_name_normalize_census,
         "name_match_pairs": _q_name_match_pairs,
+        "bond_threshold_edges": _q_bond_threshold_edges,
     }
 
 
@@ -658,6 +700,69 @@ def _dd_case(idx_expr: str, values: list[str]) -> str:
         f"when {i} then {_dd_str(v)}" for i, v in enumerate(values)
     )
     return f"(case {idx_expr} {whens} end)"
+
+
+def _dd_simhash_sql() -> str:
+    """DuckDB twin of dedup.simhash64_udf + simhash_dup_pairs: per-token
+    64-bit fingerprint = first 8 md5 bytes unpacked MSB-first (numpy
+    unpackbits order), ±1 vote per bit over ALL tokens, bit b set iff the
+    vote sum is positive, two's-complement into BIGINT (bit 63 → sign)."""
+    byte_exprs = ", ".join(
+        f"cast(concat('0x', substring(md5(tok), {2 * i + 1}, 2)) as bigint) as b{i}"
+        for i in range(8)
+    )
+    acc_exprs = ", ".join(
+        f"sum(case when (b{b // 8} >> {7 - b % 8}) & 1 = 1 then 1 else -1 end) as a{b}"
+        for b in range(64)
+    )
+    sh_terms = " + ".join(
+        f"(case when a{b} > 0 then cast({1 << b} as bigint) else 0 end)"
+        for b in range(63)
+    )
+    sh_expr = f"{sh_terms} + (case when a63 > 0 then cast(-9223372036854775808 as bigint) else 0 end)"
+    return f"""
+        with toks as (
+            select doc_id, unnest({_DD_TOKS}) as tok from documents),
+        bytes as (select doc_id, {byte_exprs} from toks),
+        accs as (select doc_id, {acc_exprs} from bytes group by doc_id),
+        sigs as (
+            select d.doc_id, d.source as block, coalesce(s.sh, 0) as sh
+            from documents d
+            left join (select doc_id, {sh_expr} as sh from accs) s using (doc_id))
+        select a.block, a.doc_id as id_a, b.doc_id as id_b,
+               cast(bit_count(xor(a.sh, b.sh)) as int) as hamming
+        from sigs a join sigs b on a.block = b.block and a.doc_id < b.doc_id
+        where bit_count(xor(a.sh, b.sh)) <= 16
+    """
+
+
+def _dd_lsh_ann_sql() -> str:
+    """DuckDB twin of ann.lsh_bucketed_topk: the SAME seeded hyperplanes
+    (numpy RandomState(42).randn — stable legacy generator) embedded as
+    literals; sign-bucket join + windowed top-5."""
+    from whoiswho_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(64, 4, seed=42)
+    bucket = " || ".join(
+        "(case when list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(x)) for x in p)
+        + "]) > 0 then '1' else '0' end)"
+        for p in planes
+    )
+    return f"""
+        with b as (
+            select vec_id, embedding, {bucket} as bucket from embeddings),
+        scored as (
+            select q.vec_id as query_id, c.vec_id as neighbor_id,
+                   round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) as cos
+            from b q join b c on q.bucket = c.bucket and q.vec_id != c.vec_id
+            where q.vec_id < 10)
+        select query_id, neighbor_id, cos, cast(rk as int) as rank
+        from (select *, row_number() over
+                 (partition by query_id order by cos desc, neighbor_id asc) as rk
+              from scored)
+        where rk <= 5
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -975,7 +1080,66 @@ def oracle_sql() -> dict[str, str]:
                    (i = 4 or i = 7) as matched_loose
             from k
         """,
-        # simhash_pairs, media_meta, lsh_ann_topk, knrm_features, ivf_topk:
-        # no SQL oracle (pandas-UDF bit/kernel math, mapInPandas,
-        # approximate/ML-dependent) → rows-only.
+        "bond_threshold_edges": f"""
+            with e as (
+                select o_custkey as src, o_orderkey as dst,
+                       o_orderkey % 4 as val_a,
+                       o_custkey % 3 as val_o,
+                       (o_orderkey % 10) / 10.0 as attr_o,
+                       o_orderkey % 5 as val_v,
+                       (o_custkey % 7) / 7.0 as attr_v
+                from orders),
+            g as (
+                select src, dst, val_a, attr_o, attr_v,
+                       case when attr_o >= 0.5 then val_o else 0 end as val_o,
+                       case when {h("cast(src as varchar) || '#' || cast(dst as varchar)", "bondv")}
+                                 / 1152921504606846976.0 >= 0.9
+                            then val_v else 0 end as val_v
+                from e),
+            m as (
+                select src, dst,
+                       case when val_a > 1 then cast(val_a as double) else 0.0 end as c_a,
+                       case when val_o > 0.5 then cast(val_o as double) else 0.0 end as c_o,
+                       case when val_v > 1 then cast(val_v as double) else 0.0 end as c_v,
+                       case when val_o > 0.5 then attr_o else 0.0 end as g_o,
+                       case when val_v > 1 then attr_v else 0.0 end as g_v
+                from g)
+            select src, dst,
+                   round(c_a + c_o + c_v, 6) as value,
+                   round(c_a, 6) as attr_a,
+                   round(g_o, 6) as attr_o,
+                   round(g_v, 6) as attr_v
+            from m
+            where c_a > 0 or c_o > 0 or c_v > 0
+        """,
+        "media_meta": """
+            select doc_id,
+                   cast(case doc_id % 3 when 0 then 24 when 1 then 11 else 10 end as bigint) as n_bytes,
+                   case doc_id % 3 when 0 then 'image/png'
+                                   when 1 then 'image/jpeg'
+                                   else 'image/gif' end as media_type,
+                   cast(1 + (n_chars % 2048) as int) as width,
+                   cast(1 + (doc_id % 1024) as int) as height
+            from documents
+        """,
+        "simhash_pairs": _dd_simhash_sql(),
+        "lsh_ann_topk": _dd_lsh_ann_sql(),
+        # knrm over SINGLETON sets: the 1×1 sim matrix makes kernel 0 a
+        # closed form of the pair cosine — k0 = ln(1 + exp(-(cos-mu0)^2 /
+        # (2 sigma^2))), mu0 = -0.975, sigma = 0.1 (similarity.py KNRM grid)
+        "knrm_features": """
+            with a as (select vec_id as id_a, embedding as ea
+                       from embeddings where vec_id < 20),
+            b as (select vec_id as id_b, embedding as eb
+                  from embeddings where vec_id >= 20 and vec_id < 40),
+            p as (select id_a, id_b,
+                         list_cosine_similarity(ea::DOUBLE[], eb::DOUBLE[]) as cos
+                  from a cross join b)
+            select id_a, id_b,
+                   cast(41 as int) as knrm_dim,
+                   round(ln(1 + exp(-((cos - (-0.975)) * (cos - (-0.975))) / (2 * 0.1 * 0.1))), 6) as k0
+            from p
+        """,
+        # ivf_topk: no SQL oracle (Spark-ML-KMeans-dependent) → rows-only
+        # (recall@k guarantees pytest-checked instead).
     }

@@ -229,3 +229,57 @@ def test_cc_stale_checkpoint_invalidated_on_input_change(spark, tmp_path):
     }
     assert got3 == got2
     assert os.path.exists(f"{ckpt}/converged/_SUCCESS")
+
+
+def test_bond_threshold_case_matrix(spark):
+    """BOND a/o/v case matrix (bond/dataset/load_data.py:93-171): each
+    relation contributes iff over threshold (o gated by attr_o ≥ coo_th,
+    v by the prob gate — disabled here with prob_v=0.0); all-below rows
+    vanish; single-relation modes keep that relation's value as attr."""
+    from whoiswho_spark.operators.bond_edges import bond_threshold_edges
+
+    rows = [
+        # src, dst, val_a, val_o, attr_o, val_v, attr_v
+        (1, 2, 3, 2, 0.9, 5, 0.7),   # a,o,v all pass
+        (1, 3, 3, 2, 0.9, 0, 0.7),   # a,o
+        (1, 4, 3, 0, 0.9, 5, 0.7),   # a,v
+        (1, 5, 3, 2, 0.1, 0, 0.7),   # a only (o killed by coo gate)
+        (1, 6, 0, 2, 0.9, 5, 0.7),   # o,v
+        (1, 7, 0, 2, 0.9, 1, 0.7),   # o only (v at threshold, not over)
+        (1, 8, 1, 0, 0.9, 5, 0.7),   # v only (a at threshold)
+        (1, 9, 0, 0, 0.9, 1, 0.7),   # nothing → row dropped
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "src bigint, dst bigint, val_a bigint, val_o bigint, attr_o double, "
+        "val_v bigint, attr_v double",
+    )
+    got = {
+        r["dst"]: (r["value"], r["attr_a"], r["attr_o"], r["attr_v"])
+        for r in bond_threshold_edges(
+            e, rel_on="aov", th_a=1, th_o=1, th_v=1, coo_th=0.5, prob_v=0.0
+        ).collect()
+    }
+    assert got == {
+        2: (10.0, 3.0, 0.9, 0.7),
+        3: (5.0, 3.0, 0.9, 0.0),
+        4: (8.0, 3.0, 0.0, 0.7),
+        5: (3.0, 3.0, 0.0, 0.0),
+        6: (7.0, 0.0, 0.9, 0.7),
+        7: (2.0, 0.0, 0.9, 0.0),
+        8: (5.0, 0.0, 0.0, 0.7),
+    }
+    # single-relation mode: value == attr slot == that relation's count
+    got_o = {
+        r["dst"]: (r["value"], r["attr_o"])
+        for r in bond_threshold_edges(e, rel_on="o", th_o=1).collect()
+    }
+    assert got_o == {d: (2.0, 2.0) for d in (2, 3, 5, 6, 7)}
+    # prob gate: prob_v=1.0 kills every v contribution (uniform < 1)
+    got_novs = {
+        r["dst"]: r["value"]
+        for r in bond_threshold_edges(
+            e, rel_on="aov", th_a=1, th_o=1, th_v=1, coo_th=0.5, prob_v=1.0
+        ).collect()
+    }
+    assert got_novs == {2: 5.0, 3: 5.0, 4: 3.0, 5: 3.0, 6: 2.0, 7: 2.0}

@@ -200,18 +200,92 @@ def test_deterministic_sample_stable(spark):
     assert a == b and len(a) == 5
 
 
-def test_media_meta_plumbing(spark):
-    docs = spark.createDataFrame(
-        [(1, bytearray(b"payload-one")), (2, bytearray(b""))],
-        "doc_id bigint, payload binary",
+def _png_bytes(w, h):
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x02\x00\x00\x00"
     )
-    got = {r["doc_id"]: r for r in extract_media_meta(docs).collect()}
-    assert got[1]["n_bytes"] == 11 and got[2]["n_bytes"] == 0
-    assert got[1]["media_type"] == "image/fake"
-    assert 64 <= got[1]["width"] < 2048
+
+
+def _jpeg_bytes(w, h, with_app0=True):
+    import struct
+
+    out = b"\xff\xd8"
+    if with_app0:  # a skippable APP0 segment before the frame
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    out += b"\xff\xc0" + struct.pack(">HBHH", 17, 8, h, w) + b"\x00" * 10
+    return out
+
+
+def _gif_bytes(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h)
+
+
+def test_parse_media_header_real_decoders():
+    from whoiswho_spark.operators.multimodal import decode_media, parse_media_header
+
+    assert parse_media_header(_png_bytes(640, 480)) == {
+        "media_type": "image/png", "width": 640, "height": 480,
+    }
+    assert parse_media_header(_jpeg_bytes(1024, 768)) == {
+        "media_type": "image/jpeg", "width": 1024, "height": 768,
+    }
+    # SOF2 (progressive) also carries dimensions
+    prog = _jpeg_bytes(33, 44).replace(b"\xff\xc0", b"\xff\xc2")
+    assert parse_media_header(prog)["width"] == 33
+    assert parse_media_header(_gif_bytes(320, 200)) == {
+        "media_type": "image/gif", "width": 320, "height": 200,
+    }
+    assert parse_media_header(b"plain text")["media_type"] == "application/octet-stream"
+    assert parse_media_header(None)["width"] is None
     import hashlib
 
-    assert got[1]["checksum"] == hashlib.md5(b"payload-one").hexdigest()
+    m = decode_media(_png_bytes(2, 3))
+    assert m["n_bytes"] == 29 and m["checksum"] == hashlib.md5(_png_bytes(2, 3)).hexdigest()
+
+
+def test_media_meta_real_decode_roundtrip(spark):
+    """Catalyst-built synthetic binaries → mapInPandas header decode →
+    the dimensions that went in must come back out."""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.multimodal import (
+        extract_media_meta,
+        synthetic_media_payload_col,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 100 + i * 37, 7 + i) for i in range(9)], "doc_id bigint, w int, h int"
+    )
+    payloads = docs.select(
+        "doc_id",
+        synthetic_media_payload_col(
+            F.pmod(F.col("doc_id"), F.lit(3)), F.col("w"), F.col("h")
+        ).alias("payload"),
+    )
+    got = {r["doc_id"]: r for r in extract_media_meta(payloads).collect()}
+    kinds = {0: "image/png", 1: "image/jpeg", 2: "image/gif"}
+    for i in range(9):
+        assert got[i]["media_type"] == kinds[i % 3], i
+        assert got[i]["width"] == 100 + i * 37, i
+        assert got[i]["height"] == 7 + i, i
+
+    # raw python fixtures through the same stage (non-synthetic payloads)
+    raw = spark.createDataFrame(
+        [(100, bytearray(_gif_bytes(12, 34))), (101, bytearray(b""))],
+        "doc_id bigint, payload binary",
+    )
+    got2 = {r["doc_id"]: r for r in extract_media_meta(raw).collect()}
+    assert (got2[100]["width"], got2[100]["height"]) == (12, 34)
+    assert got2[101]["media_type"] == "application/octet-stream"
+    assert got2[101]["width"] is None and got2[101]["n_bytes"] == 0
 
 
 def test_sharded_plans_match_blas_plans(spark):

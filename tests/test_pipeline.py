@@ -190,3 +190,22 @@ def test_eval_restricted_to_shared_block_pairs(spark, corpus, workdir):
     lbv = labeled_block_view(blocks, labels, clusters)
     assert lbv.where(F.col("block_key").isNull()).count() == 0
     assert macro_pairwise_f1(lbv) >= 0.99
+
+
+def test_relational_channel_f1_gate(spark, corpus, workdir):
+    """The relational channel ON (walk embeddings blended with semantic
+    distances, (rel + w·sem)/(1+w), AutoTrainSND.py:239-243) must still
+    clear the F1 gate, and rerun identically (seeded walks + w2v)."""
+    wd = f"{workdir}/rel"
+    pages, embs, labels = _split(corpus)
+    cfg = ERConfig(
+        cluster_method="dbscan", use_relational=True, relational_repeats=2
+    )
+    c1 = run_pipeline(spark, pages, embs, wd, cfg)
+    f1 = evaluate_run(spark, wd, labels)
+    assert f1 >= 0.99, f"relational-channel pairwise F1 {f1} < 0.99"
+
+    c1_rows = sorted(map(tuple, c1.collect()))
+    shutil.rmtree(wd)
+    c2 = run_pipeline(spark, pages, embs, wd, cfg)
+    assert c1_rows == sorted(map(tuple, c2.collect()))

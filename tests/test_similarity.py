@@ -107,3 +107,21 @@ def test_knrm_pool_properties():
     assert v[-1] > 0.5  # exact-match kernel
     # empty matrix → zeros
     assert (knrm_pool(np.zeros((0, 0))) == 0).all()
+
+
+def test_get_jaro_distance_pyjarowinkler_parity():
+    """The reference call-site function (feature_process.py:368):
+    pyjarowinkler applies the Winkler boost UNCONDITIONALLY and rounds to
+    2dp — published library values, incl. a sub-0.7-threshold case where
+    it diverges from DuckDB/standard JW."""
+    from whoiswho_spark.functions.similarity import get_jaro_distance
+
+    assert get_jaro_distance("martha", "marhta") == 0.96
+    assert get_jaro_distance("dixon", "dicksonx") == 0.81
+    assert get_jaro_distance("hello", "haloa") == 0.76
+    # jaro('00','01') = 2/3 ≤ 0.7: pyjarowinkler still boosts (→ 0.7),
+    # DuckDB does not (→ 0.6667)
+    assert get_jaro_distance("00", "01") == 0.7
+    import duckdb as dd
+
+    assert abs(dd.sql("select jaro_winkler_similarity('00','01')").fetchone()[0] - 2 / 3) < 1e-12

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType
 
-from whoiswho_spark.functions.similarity import jaro_winkler
+from whoiswho_spark.functions.similarity import get_jaro_distance
 
 FIELD_DEFAULT_IDF = {"org": 14.37, "venue": 10.42, "title": 14.79, "keywords": 1.0}
 
@@ -64,8 +64,9 @@ def other_features(
         if item == "":
             continue
         # pyjarowinkler's get_jaro_distance default (winkler=True,
-        # scaling=0.1) — the reference call at feature_process.py:368
-        jaro_scores.append(jaro_winkler(paper_attr, item, p=0.1))
+        # scaling=0.1, unconditional boost + round-2dp) — the reference
+        # call at feature_process.py:368
+        jaro_scores.append(get_jaro_distance(paper_attr, item, p=0.1))
         item_set = set(item.split())
         card_scores.append(len(item_set & paper_set) / len(paper_set | item_set))
     jaro_scores = jaro_scores or [0.0]

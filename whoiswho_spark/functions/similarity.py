@@ -114,17 +114,36 @@ def _jaro(s1: str, s2: str) -> float:
     return (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
 
 
-def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
-    """Standard Jaro-Winkler (the semantics of pyjarowinkler used at
-    feature_process.py:368; DuckDB's jaro_winkler_similarity matches)."""
-    j = _jaro(s1 or "", s2 or "")
+def _common_prefix_len(s1: str, s2: str, max_prefix: int = 4) -> int:
     prefix = 0
     for c1, c2 in zip((s1 or "")[:max_prefix], (s2 or "")[:max_prefix]):
         if c1 == c2:
             prefix += 1
         else:
             break
-    return j + prefix * p * (1.0 - j)
+    return prefix
+
+
+def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    """Standard Jaro-Winkler with the canonical 0.7 boost threshold —
+    bit-parity with DuckDB's jaro_winkler_similarity (property-tested):
+    the prefix boost applies only when the Jaro score exceeds 0.7."""
+    j = _jaro(s1 or "", s2 or "")
+    if j <= 0.7:
+        return j
+    return j + _common_prefix_len(s1 or "", s2 or "", max_prefix) * p * (1.0 - j)
+
+
+def get_jaro_distance(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    """pyjarowinkler.distance.get_jaro_distance parity — the EXACT
+    function the reference calls at feature_process.py:368: the Winkler
+    boost is applied UNCONDITIONALLY (no 0.7 threshold) and the result is
+    rounded to 2 decimals (the library's round(x*100)/100 quirk). The
+    reference guards empty strings out before calling
+    (feature_process.py:357-363); empties here return 0.0."""
+    j = _jaro(s1 or "", s2 or "")
+    boosted = j + _common_prefix_len(s1 or "", s2 or "", max_prefix) * p * (1.0 - j)
+    return round(boosted * 100.0) / 100.0
 
 
 @pandas_udf(DoubleType())

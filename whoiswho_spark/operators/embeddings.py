@@ -26,9 +26,14 @@ def train_word2vec(
     min_count: int = 5,
     window: int = 5,
     seed: int = 42,
+    num_partitions: int = 4,
 ):
     """Fit Spark ML Word2Vec with the reference hyperparameters
-    (semantic_features.py:33-39); returns the fitted model."""
+    (semantic_features.py:33-39); returns the fitted model.
+
+    ``num_partitions=1`` makes the fit bit-reproducible (multi-partition
+    training merges float gradients in task-completion order); >1 trades
+    exact reproducibility for parallel training."""
     from pyspark.ml.feature import Word2Vec
 
     w2v = Word2Vec(
@@ -38,7 +43,7 @@ def train_word2vec(
         seed=seed,
         inputCol=tokens_col,
         outputCol="_w2v",
-        numPartitions=4,
+        numPartitions=num_partitions,
         maxIter=1,
     )
     return w2v.fit(corpus.select(tokens_col))

@@ -1,10 +1,12 @@
 """Multimodal column plumbing: opaque BINARY payloads + typed metadata.
 
-Image/audio/video decode libraries are not in this container, so the
-decode kernels are clearly-marked deterministic stubs — but the
-Spark-side plumbing (schema, Arrow batch shape, mapInPandas signature,
-partitioning) is real and tested. Swap `_fake_decode` for a real
-decoder (PIL/ffmpeg) on a cluster with the libs installed.
+The decode stage is a REAL, dependency-free container-header parser —
+PNG (IHDR), JPEG (SOF-family marker scan), GIF (logical screen
+descriptor) — so width/height/media-type extraction needs no PIL/ffmpeg.
+Pixel-level work (resize, feature extraction, frame sampling) would slot
+into the same mapInPandas stage on a cluster with the codec libraries;
+the Spark-side contract (schema, Arrow batch shape, partitioning) is
+identical either way.
 """
 
 from __future__ import annotations
@@ -21,52 +23,120 @@ MEDIA_META_SCHEMA = (
     "width int, height int, checksum string"
 )
 
-
-def _fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in for an image decoder: derives plausible
-    dimensions from the payload hash. NOT a real decode — replace with
-    PIL.Image.open when available."""
-    if payload is None:
-        payload = b""
-    h = hashlib.md5(payload).hexdigest()
-    return {
-        "width": 64 + int(h[:4], 16) % 1984,
-        "height": 64 + int(h[4:8], 16) % 1984,
-        "checksum": h,
-    }
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# every SOF marker that carries dimensions (C4/C8/CC are huffman/arith
+# tables, not frames)
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
 
 
-def real_decode(payload: bytes):
-    """The real decode path — gated on libraries absent here."""
-    raise NotImplementedError(
-        "image/audio decode libraries are not installed in this environment; "
-        "use _fake_decode-backed plumbing (extract_media_meta) or install "
-        "PIL/ffmpeg on the cluster"
-    )
+def parse_media_header(payload: bytes | None) -> dict:
+    """Container-format sniff + dimension extraction from raw bytes.
+
+    - PNG: width/height are the two big-endian u32s of the IHDR chunk
+      (bytes 16-24 — IHDR is mandatory-first per the PNG spec).
+    - JPEG: walk the marker segments from SOI until a SOF-family marker;
+      its payload is [len u16][precision u8][height u16][width u16].
+    - GIF: logical-screen width/height, little-endian u16s at bytes 6-10.
+    - anything else: octet-stream with null dimensions.
+    """
+    if not payload:
+        return {"media_type": "application/octet-stream", "width": None, "height": None}
+    if (
+        payload[:8] == _PNG_SIG
+        and len(payload) >= 24
+        and payload[12:16] == b"IHDR"
+    ):
+        return {
+            "media_type": "image/png",
+            "width": int.from_bytes(payload[16:20], "big"),
+            "height": int.from_bytes(payload[20:24], "big"),
+        }
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in _JPEG_SOF:
+                return {
+                    "media_type": "image/jpeg",
+                    "width": int.from_bytes(payload[i + 7 : i + 9], "big"),
+                    "height": int.from_bytes(payload[i + 5 : i + 7], "big"),
+                }
+            if marker == 0xFF:  # fill byte — resync on the next 0xFF
+                i += 1
+                continue
+            if marker == 0xD9:  # EOI, no frame seen
+                break
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            i += 2 + seg_len
+        return {"media_type": "image/jpeg", "width": None, "height": None}
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        return {
+            "media_type": "image/gif",
+            "width": int.from_bytes(payload[6:8], "little"),
+            "height": int.from_bytes(payload[8:10], "little"),
+        }
+    return {"media_type": "application/octet-stream", "width": None, "height": None}
+
+
+def decode_media(payload: bytes | None) -> dict:
+    """Full per-payload metadata record: header parse + size + checksum."""
+    meta = parse_media_header(payload)
+    b = payload or b""
+    meta["n_bytes"] = len(b)
+    meta["checksum"] = hashlib.md5(b).hexdigest()
+    return meta
 
 
 def extract_media_meta(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, payload BINARY) → typed metadata via mapInPandas: the batch
-    shape, schema, and partition behavior of a real decode stage."""
+    """(id, payload BINARY) → typed metadata via mapInPandas — one Arrow
+    batch per call, pure-Python header parse per payload (no pixel
+    decode, so the per-row cost is O(header), not O(image))."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_fake_decode(p) for p in pdf[payload_col]]
+            metas = [decode_media(p) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": [
-                        len(p) if p is not None else 0 for p in pdf[payload_col]
-                    ],
-                    "media_type": "image/fake",
-                    "width": [m["width"] for m in metas],
-                    "height": [m["height"] for m in metas],
+                    "n_bytes": [m["n_bytes"] for m in metas],
+                    "media_type": [m["media_type"] for m in metas],
+                    "width": pd.array([m["width"] for m in metas], dtype="Int32"),
+                    "height": pd.array([m["height"] for m in metas], dtype="Int32"),
                     "checksum": [m["checksum"] for m in metas],
                 }
             )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         decode_batches, schema=MEDIA_META_SCHEMA
+    )
+
+
+def synthetic_media_payload_col(kind_col, width_col, height_col):
+    """Catalyst-only synthetic media binaries (PNG/JPEG/GIF headers with
+    the given dimensions) — the deterministic fixture generator for tests
+    and the contract query; unhex(concat(hex fragments)) stays in codegen.
+    kind: 0 = PNG, 1 = JPEG, 2 = GIF."""
+    be4 = lambda c: F.lpad(F.hex(c.cast("bigint")), 8, "0")
+    be2 = lambda c: F.lpad(F.hex(c.cast("bigint")), 4, "0")
+    le2 = lambda c: F.concat(
+        F.lpad(F.hex(F.pmod(c.cast("bigint"), F.lit(256))), 2, "0"),
+        F.lpad(F.hex(F.floor(c.cast("bigint") / F.lit(256)).cast("bigint")), 2, "0"),
+    )
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"), be4(width_col), be4(height_col)
+    )
+    jpg_hex = F.concat(F.lit("FFD8FFC0001108"), be2(height_col), be2(width_col))
+    gif_hex = F.concat(F.lit("474946383961"), le2(width_col), le2(height_col))
+    return F.unhex(
+        F.when(kind_col == 0, png_hex).when(kind_col == 1, jpg_hex).otherwise(gif_hex)
     )

@@ -56,6 +56,12 @@ class ERConfig:
     cluster_method: str = "cc"
     dbscan_eps: float = 0.2
     dbscan_min_samples: int = 4
+    # relational channel (dbscan path only): blend walk-embedding
+    # distances with the semantic ones, (rel + w·sem)/(1+w) — the
+    # reference's add_rel mode (AutoTrainSND.py:239-243)
+    use_relational: bool = False
+    relational_repeats: int = 2
+    text_weight: float = 1.0
 
 
 def extract_stage(pages: DataFrame) -> DataFrame:
@@ -173,10 +179,48 @@ def run_pipeline(
                 cluster_blocks_dbscan,
             )
 
-            bp = blocks.join(embeddings.select("url", "embedding"), "url")
-            labels = cluster_blocks_dbscan(
-                bp, eps=cfg.dbscan_eps, min_samples=cfg.dbscan_min_samples
-            )
+            if cfg.use_relational:
+                from whoiswho_spark.operators.relational import (
+                    blend_pair_distances,
+                    cluster_blocks_dbscan_pairs,
+                    relational_pair_distances,
+                )
+
+                # token bipartite graph for the walks: url ↔ title token
+                # (the webtext analog of paper↔author/org relations)
+                token_edges = payload.select(
+                    F.col("url").alias("pid"),
+                    F.explode("title_tokens").alias("token"),
+                ).distinct()
+                pair_keys = pairs.select("url_a", "url_b").distinct()
+                rel = relational_pair_distances(
+                    token_edges,
+                    pair_keys,
+                    repeat_num=cfg.relational_repeats,
+                    starts=payload.select(F.col("url").alias("pid")),
+                )
+                # semantic channel: pair cosine distance already computed
+                # by score_pairs (f_emb_dot)
+                sem = pairs.select(
+                    "url_a",
+                    "url_b",
+                    (F.lit(1.0) - F.col("f_emb_dot")).alias("sem_dist"),
+                ).dropDuplicates(["url_a", "url_b"])
+                blended = blend_pair_distances(rel, sem, cfg.text_weight)
+                block_pairs = pairs.select("block_key", "url_a", "url_b").join(
+                    blended, ["url_a", "url_b"]
+                )
+                labels = cluster_blocks_dbscan_pairs(
+                    blocks,
+                    block_pairs,
+                    eps=cfg.dbscan_eps,
+                    min_samples=cfg.dbscan_min_samples,
+                )
+            else:
+                bp = blocks.join(embeddings.select("url", "embedding"), "url")
+                labels = cluster_blocks_dbscan(
+                    bp, eps=cfg.dbscan_eps, min_samples=cfg.dbscan_min_samples
+                )
             # A url sits in several LSH-band blocks and gets an independent
             # DBSCAN label in each (the reference has exactly one name block
             # per paper, so it never faces this). Per-block co-membership is
