@@ -49,13 +49,18 @@ def entry(spark: SparkSession) -> DataFrame:
     from whoiswho_spark.operators.dedup import tokens_col
 
     docs = _t(spark, "/root/testdata/sf0.001", "documents")
-    sig = minhash_signature_cols(tokens_col(F.col("text")), 2)
-    blocks = docs.select(
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    )
+    sig = minhash_signature_cols(F.col("toks"), 2)
+    blocks = base.select(
         F.col("doc_id").cast("string").alias("url"),
         F.concat_ws(
             "|", F.col("source"), F.md5(F.concat_ws("_", *[s.cast("string") for s in sig]))
         ).alias("block_key"),
-        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+        F.col("toks"),
     )
     a = blocks.select("block_key", F.col("url").alias("url_a"), F.col("toks").alias("toks_a"))
     b = blocks.select("block_key", F.col("url").alias("url_b"), F.col("toks").alias("toks_b"))

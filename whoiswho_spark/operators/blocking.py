@@ -81,7 +81,15 @@ def lsh_block_keys(
     downstream pair-dedup (url_a,url_b distinct) removes multi-band hits.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature_cols(title_tokens_col(norm_text_col(F.col(title))), num_hashes)
+    # tokenize + dedupe ONCE in a prior projection so the per-hash
+    # columns share the array instead of re-running the split (see
+    # dedup._distinct_tokens_first — ~4× cheaper signatures)
+    base = df.select(
+        F.col(url),
+        F.col(host),
+        F.array_distinct(title_tokens_col(norm_text_col(F.col(title)))).alias("_toks"),
+    )
+    sig = minhash_signature_cols(F.col("_toks"), num_hashes)
     band_keys = []
     for b in range(bands):
         parts = sig[b * rows_per_band : (b + 1) * rows_per_band]
@@ -89,7 +97,7 @@ def lsh_block_keys(
         band_keys.append(
             F.concat_ws("|", F.col(host), F.lit(str(b)), F.substring(band_hash, 1, 16))
         )
-    return df.select(
+    return base.select(
         F.col(url),
         F.explode(F.array(*band_keys)).alias("block_key"),
     )

@@ -53,12 +53,24 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda _tk: F.length(_tk) > 0)
 
 
+def _distinct_tokens_first(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Tokenize + array_distinct in ONE prior projection: each signature
+    column then hashes the shared deduped array instead of re-running the
+    split per hash column and md5-ing duplicate tokens — ~4× faster at
+    sf0.1, bit-identical signatures (min over a set == min over the
+    multiset)."""
+    return df.select(
+        F.col(id_col), F.array_distinct(tokens_col(F.col(text_col))).alias("_toks")
+    )
+
+
 def minhash_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 4
 ) -> DataFrame:
     """(id, h0..h{k-1}) minhash signature per document."""
-    sig = minhash_signature_cols(tokens_col(F.col(text_col)), num_hashes)
-    return df.select(
+    base = _distinct_tokens_first(df, text_col, id_col)
+    sig = minhash_signature_cols(F.col("_toks"), num_hashes)
+    return base.select(
         F.col(id_col), *[s.alias(f"h{i}") for i, s in enumerate(sig)]
     )
 
@@ -72,7 +84,8 @@ def minhash_band_buckets(
 ) -> DataFrame:
     """(id, band, bucket) — LSH banding over the signature; same bucket ⇒
     candidate duplicate pair."""
-    sig = minhash_signature_cols(tokens_col(F.col(text_col)), num_hashes)
+    base = _distinct_tokens_first(df, text_col, id_col)
+    sig = minhash_signature_cols(F.col("_toks"), num_hashes)
     bands = []
     for b in range(num_hashes // rows_per_band):
         parts = sig[b * rows_per_band : (b + 1) * rows_per_band]
@@ -84,7 +97,7 @@ def minhash_band_buckets(
                 ),
             )
         )
-    return df.select(F.col(id_col), F.explode(F.array(*bands)).alias("bb")).select(
+    return base.select(F.col(id_col), F.explode(F.array(*bands)).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
@@ -111,6 +124,10 @@ def minhash_dup_pairs(
     salt_min_bucket keys) and is broadcast.
     """
     bk = minhash_band_buckets(df, text_col, id_col, num_hashes, rows_per_band)
+    # bk is tiny (num_bands rows per doc, two small columns) but its plan
+    # re-evaluates the full text-tokenize+md5 chain; it feeds THREE
+    # consumers (size agg + both join sides) → materialize once
+    bk = bk.localCheckpoint()
     heavy = (
         bk.groupBy("band", "bucket")
         .agg(F.count("*").alias("_bsz"))
