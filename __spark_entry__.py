@@ -637,6 +637,48 @@ def _q_bond_threshold_edges(spark, sf):
     )
 
 
+def _q_incremental_er(spark, sf):
+    """Streaming incremental ER (custom stateful operator,
+    applyInPandasWithState): documents drained as a file stream, pages
+    assigned to existing clusters held in per-block group state or
+    founding new ones. Genuinely non-SQL-expressible (stateful streaming)
+    → rows-only check."""
+    import tempfile
+
+    from whoiswho_spark.operators.dedup import tokens_col
+    from whoiswho_spark.streaming.incremental_er import incremental_er_stream
+
+    # the file stream source needs a DIRECTORY; the sf tables are single
+    # parquet files → stage a multi-file copy (4 files = several
+    # micro-batches at maxFilesPerTrigger=1)
+    src_dir = tempfile.mkdtemp(prefix="inc_er_src_")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.col("source").alias("block_key"),
+            F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="inc_er_ckpt_")
+    name = "inc_er_contract"
+    q = (
+        incremental_er_stream(stream, threshold=0.5)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("url", "block_key", "cluster_id", "is_new")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "block_stats": _q_block_stats,
@@ -675,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_normalize_census": _q_name_normalize_census,
         "name_match_pairs": _q_name_match_pairs,
         "bond_threshold_edges": _q_bond_threshold_edges,
+        "incremental_er": _q_incremental_er,
     }
 
 
@@ -1147,4 +1190,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ivf_topk: no SQL oracle (Spark-ML-KMeans-dependent) → rows-only
         # (recall@k guarantees pytest-checked instead).
+        # incremental_er: stateful streaming (applyInPandasWithState) —
+        # non-SQL-expressible → rows-only (stateful semantics
+        # pytest-checked in tests/test_streaming_incremental_er.py).
     }
