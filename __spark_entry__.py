@@ -679,6 +679,27 @@ def _q_incremental_er(spark, sf):
     return spark.table(name).select("url", "block_key", "cluster_id", "is_new")
 
 
+def _q_gbdt_scores(spark, sf):
+    """GBDT ensemble scorer (§2.9): numpy histogram-boosted trees fit on
+    a bounded deterministic sample, INFERENCE COMPILED TO A CATALYST
+    EXPRESSION (nested when-cascades — zero Python in the hot path).
+    Labels derived deterministically from order price; fit is driver-side
+    numpy → non-SQL-expressible → rows-only."""
+    from whoiswho_spark.operators.gbdt import fit_gbdt, gbdt_score_col
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice") % 97).alias("f_a"),
+        (F.col("o_custkey") % 13).cast("double").alias("f_b"),
+        F.length("o_orderpriority").cast("double").alias("f_c"),
+        (F.col("o_totalprice") > 150000).cast("double").alias("label"),
+    )
+    model = fit_gbdt(o, ["f_a", "f_b", "f_c"], n_trees=10, max_depth=3)
+    return o.select(
+        "o_orderkey", F.round(gbdt_score_col(model), 6).alias("gbdt_score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "block_stats": _q_block_stats,
@@ -718,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_match_pairs": _q_name_match_pairs,
         "bond_threshold_edges": _q_bond_threshold_edges,
         "incremental_er": _q_incremental_er,
+        "gbdt_scores": _q_gbdt_scores,
     }
 
 
@@ -1193,4 +1215,8 @@ def oracle_sql() -> dict[str, str]:
         # incremental_er: stateful streaming (applyInPandasWithState) —
         # non-SQL-expressible → rows-only (stateful semantics
         # pytest-checked in tests/test_streaming_incremental_er.py).
+        # gbdt_scores: driver-side numpy ensemble fit — non-SQL-
+        # expressible → rows-only (catalyst==numpy predict parity,
+        # XOR-learnability, and determinism pytest-checked in
+        # tests/test_gbdt.py).
     }

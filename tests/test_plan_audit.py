@@ -1,0 +1,70 @@
+"""Physical-plan audits: the properties that keep these queries fast at
+100 TB must be visible in the plan, not just hoped for — predicate
+pushdown to the parquet scan, column pruning, broadcast joins for small
+dims, and no accidental cartesian products."""
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = entrymod.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scans(plan):
+    return [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+
+
+def test_filter_pushed_to_lineitem_scan(spark):
+    plan = _plan(spark, "lineitem_pricing_summary")
+    scan = next(s for s in _scans(plan) if "lineitem" in s)
+    assert "l_shipdate" in scan.split("DataFilters")[1].split("]")[0], (
+        "shipdate filter must reach the scan"
+    )
+
+
+def test_column_pruning_on_documents_scan(spark):
+    # documents has (doc_id, url, source, lang, n_chars, text, ...); the
+    # token_stats projection needs exactly doc_id + text
+    plan = _plan(spark, "token_stats")
+    scan = next(s for s in _scans(plan) if "documents" in s)
+    cols = scan.split("FileScan parquet [")[1].split("]")[0]
+    names = {c.split("#")[0] for c in cols.split(",")}
+    assert names == {"doc_id", "text"}, names
+
+
+def test_small_dims_broadcast_in_revenue_join(spark):
+    plan = _plan(spark, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_products_in_headline_plans(spark):
+    # knrm_features is a 20x20 crossJoin BY CONSTRUCTION — excluded.
+    for name in (
+        "minhash_dup_candidates",
+        "ngram_jaccard_pairs",
+        "exact_dedup",
+        "embedding_neardup",
+        "ann_topk",
+        "top1_threshold",
+        "window_topk",
+        "revenue_by_nation",
+        "events_hourly",
+        "bond_threshold_edges",
+        "name_match_pairs",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_exact_dedup_shuffles_hash_only(spark):
+    # the 100 TB contract: text never moves — the scan may read it to
+    # hash, but no Exchange carries the text column
+    plan = _plan(spark, "exact_dedup")
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln, ln
