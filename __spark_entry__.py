@@ -140,11 +140,12 @@ def _q_exact_dedup(spark, sf):
 def _q_ngram_jaccard_pairs(spark, sf):
     """Within-block token-set Jaccard ≥ 0.5 (AutoTrainSND.py:24-32
     tanimoto semantics)."""
-    from whoiswho_spark.operators.dedup import ngram_jaccard_pairs
+    from whoiswho_spark.operators.dedup import ngram_jaccard_pairs_prefix
 
-    # no broadcast hint: AQE picks the join strategy (broadcast_right is a
-    # per-bucket-shard opt-in, not a full-corpus default — scale plan)
-    return ngram_jaccard_pairs(_t(spark, sf, "documents"), block_col="source")
+    # PPJoin-style prefix-filtered plan: candidates meet on (block, RARE
+    # token) instead of the quadratic block self-join — exact, same
+    # oracle (see ngram_jaccard_pairs_prefix docstring)
+    return ngram_jaccard_pairs_prefix(_t(spark, sf, "documents"), block_col="source")
 
 
 def _q_embedding_neardup(spark, sf):

@@ -354,3 +354,30 @@ def test_minhash_size_conditional_salting_equals_plain(spark):
         for r in minhash_dup_pairs(df, n_salts=4, salt_min_bucket=8).collect()
     }
     assert salted == plain and len(plain) >= 40 * 39 / 2
+
+
+def test_ngram_prefix_plan_matches_block_plan(spark):
+    """The prefix-filtered set-similarity join is an exact physical
+    rewrite: identical pairs + jaccards, incl. boundary-threshold sets."""
+    from whoiswho_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rows = [
+        (1, "b", "alpha beta gamma delta"),
+        (2, "b", "alpha beta gamma epsilon"),   # J=0.6 with 1
+        (3, "b", "alpha beta"),                 # J=0.5 with 1? |i|=2,|u|=4 → 0.5
+        (4, "b", "zeta eta theta"),
+        (5, "b", "zeta eta theta"),             # exact dup → J=1
+        (6, "c", "alpha beta gamma delta"),     # other block: no cross pairs
+        (7, "b", "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    a = {(r["id_a"], r["id_b"], r["jaccard"])
+         for r in ngram_jaccard_pairs(df, block_col="source").collect()}
+    b = {(r["id_a"], r["id_b"], r["jaccard"])
+         for r in ngram_jaccard_pairs_prefix(df, block_col="source").collect()}
+    assert a == b
+    assert (4, 5, 1.0) in a and (1, 3, 0.5) in a
+    assert all(x != 6 and y != 6 for x, y, _ in a)

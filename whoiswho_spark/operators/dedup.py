@@ -238,6 +238,101 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity join with PPJoin-style prefix filtering — the
+    100 TB plan for ngram_jaccard_pairs (result-identical, pytest + same
+    oracle).
+
+    Why exact: J(a,b) ≥ τ ⇒ |a∩b| ≥ τ·|a∪b| ≥ ⌈τ·|a|⌉, so under any
+    consistent global token order the smallest COMMON token sits within
+    the first |x| − ⌈τ·|x|⌉ + 1 tokens of BOTH sides — candidates only
+    need to meet on a prefix token, never on the full set.
+
+    Plan: token document-frequency table (one agg) → per-doc tokens
+    sorted rarest-first → explode only the prefix → self-join on
+    (block, prefix token) → distinct candidate pairs (a shuffle of id
+    pairs, not token arrays) → attach token sets → exact Jaccard verify.
+    The join key is (block, RARE token), so group sizes stay small even
+    when every document shares the boilerplate vocabulary — the quadratic
+    blow-up of the block self-join never materializes.
+    """
+    t = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col),
+        F.array_distinct(tokens_col(F.col(text_col))).alias("toks"),
+    ).withColumn("sz", F.size("toks"))
+    t = t.localCheckpoint()  # feeds df-agg, prefix build, and both verify sides
+
+    df_tbl = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("_df"))
+    )
+    # per-doc tokens ordered by (df, token) — rarest first, total order
+    ranked = (
+        t.select("block", id_col, "sz", F.explode("toks").alias("tok"))
+        .join(df_tbl, "tok")
+        .groupBy("block", id_col, "sz")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("ordered")
+        )
+    )
+    prefix_len = F.greatest(
+        F.lit(1), (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    )
+    prefixes = ranked.select(
+        "block",
+        F.col(id_col),
+        "sz",
+        F.explode(F.slice("ordered", 1, prefix_len)).alias("tok"),
+    )
+    a = prefixes.select(
+        "block", "tok", F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")
+    )
+    b = prefixes.select(
+        "block", "tok", F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")
+    )
+    cands = (
+        a.join(b, ["block", "tok"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("sz_a", "sz_b")
+                >= F.lit(float(threshold)) * F.greatest("sz_a", "sz_b")
+            )
+        )
+        .select("block", "id_a", "id_b")
+        .distinct()
+    )
+    jac_udf = _jaccard_sets_udf()
+    return (
+        cands.join(
+            t.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a")),
+            "id_a",
+        )
+        .join(
+            t.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b")),
+            "id_b",
+        )
+        .select(
+            "block",
+            "id_a",
+            "id_b",
+            F.round(jac_udf(F.col("toks_a"), F.col("toks_b")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 @pandas_udf(LongType())
 def simhash64_udf(text: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (md5-derived per-token 64-bit
