@@ -209,3 +209,42 @@ def test_relational_channel_f1_gate(spark, corpus, workdir):
     shutil.rmtree(wd)
     c2 = run_pipeline(spark, pages, embs, wd, cfg)
     assert c1_rows == sorted(map(tuple, c2.collect()))
+
+
+def test_rnd_fuzzy_fallback_resolves_nickname_titles(spark):
+    """pretreat_unass parity: a new page whose LSH keys miss every profile
+    still finds its cluster through the 7-matcher battery with the
+    tokenize_name (nickname) retry — 'Bill Smith' → 'william smith …'."""
+    from whoiswho_spark.plans.rnd_pipeline import assign_pages
+
+    def payload(url, title, toks, emb):
+        return (url, title, toks, toks * 2, emb)
+
+    schema = (
+        "url string, title string, title_tokens array<string>, "
+        "text_tokens array<string>, embedding array<double>"
+    )
+    profiles = spark.createDataFrame(
+        [
+            payload("p1", "william smith homepage and research notes",
+                    ["william", "smith", "homepage", "research", "notes"], [1.0, 0.0]),
+            payload("p2", "jane doe gallery of unrelated things",
+                    ["jane", "doe", "gallery", "unrelated", "things"], [0.0, 1.0]),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [payload("n1", "Bill Smith", ["bill", "smith"], [1.0, 0.0])], schema
+    )
+    clusters = spark.createDataFrame(
+        [("p1", "C_SMITH"), ("p2", "C_DOE")], "url string, cluster_id string"
+    )
+
+    strict = assign_pages(new, profiles, clusters, threshold=0.1).collect()
+    assert strict == []  # LSH keys miss → NIL without the fallback
+
+    fuzzy = assign_pages(
+        new, profiles, clusters, threshold=0.1, fuzzy_fallback=True
+    ).collect()
+    assert len(fuzzy) == 1
+    assert fuzzy[0]["url"] == "n1" and fuzzy[0]["cluster_id"] == "C_SMITH"

@@ -398,3 +398,22 @@ def names_match_loose_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(
         [names_match(x or "", y or "", loose=True) for x, y in zip(a, b)], dtype=bool
     )
+
+
+def names_match_with_token_fallback(a: str, b: str, loose: bool = True) -> bool:
+    """findMain's two-stage try (tool/match_name.py:95-116) for RAW
+    strings: battery on cleaned forms first, then on the
+    tokenize_name-expanded (nickname/stopword/initial-split) forms."""
+    if names_match(clean_name(a), clean_name(b), loose):
+        return True
+    return names_match(
+        clean_name(tokenize_name(a)), clean_name(tokenize_name(b)), loose
+    )
+
+
+@pandas_udf(BooleanType())
+def names_match_fallback_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [names_match_with_token_fallback(x or "", y or "") for x, y in zip(a, b)],
+        dtype=bool,
+    )

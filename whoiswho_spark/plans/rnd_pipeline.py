@@ -35,12 +35,21 @@ def assign_pages(
     threshold: float = POST_MATCH_THRESHOLD,
     num_hashes: int = 8,
     bands: int = 4,
+    fuzzy_fallback: bool = False,
 ) -> DataFrame:
     """(new pages payload, profile payload, clusters(url, cluster_id)) →
     assignments(url, cluster_id, score); pages below threshold are NIL
     (absent — they'd seed new clusters downstream).
 
     Payload columns: url, title, title_tokens, text_tokens, embedding.
+
+    ``fuzzy_fallback`` mirrors the reference's pretreat_unass candidate
+    resolution (dataset/data_process.py + tool/match_name.py findMain):
+    pages whose LSH keys hit NO profile candidate retry with the
+    7-matcher name battery (clean_name forms first, then the
+    tokenize_name nickname/initial-expanded forms), bounded by a coarse
+    last-cleaned-token key (the surname analog) so the fuzzy comparison
+    never goes quadratic.
     """
     # block keys must be built identically for both sides
     def keys(df):
@@ -56,6 +65,52 @@ def assign_pages(
         .select("url_new", "url_prof")
         .distinct()
     )
+
+    if fuzzy_fallback:
+        from whoiswho_spark.functions.name_match import (
+            clean_name_udf,
+            names_match_fallback_udf,
+        )
+
+        unmatched = (
+            new_payload.select("url", "title")
+            .join(
+                pairs.select(F.col("url_new").alias("url")).distinct(),
+                "url",
+                "left_anti",
+            )
+        )
+        from whoiswho_spark.functions.name_match import tokenize_name_udf
+
+        # coarse candidate bound: ANY shared normalized token (nickname-
+        # expanded, so 'bill' and 'william smith …' meet on 'william');
+        # the battery then decides. Token groups play the role of the
+        # reference's name blocks — bounded join, never quadratic.
+        norm_toks = lambda title: F.split(
+            clean_name_udf(tokenize_name_udf(title)), " "
+        )
+        fa = unmatched.select(
+            F.col("url").alias("url_new"),
+            F.col("title").alias("_title_new"),
+            F.explode(norm_toks(F.col("title"))).alias("_k"),
+        ).where(F.length("_k") > 1)
+        fb = profile_payload.select(
+            F.col("url").alias("url_prof"),
+            F.col("title").alias("_title_prof"),
+            F.explode(norm_toks(F.col("title"))).alias("_k"),
+        ).where(F.length("_k") > 1)
+        fuzzy_pairs = (
+            fa.join(fb, "_k")
+            .select("url_new", "url_prof", "_title_new", "_title_prof")
+            .distinct()
+            .where(
+                names_match_fallback_udf(
+                    F.col("_title_new"), F.col("_title_prof")
+                )
+            )
+            .select("url_new", "url_prof")
+        )
+        pairs = pairs.unionByName(fuzzy_pairs).distinct()
     a = new_payload.select(
         F.col("url").alias("url_new"),
         *[F.col(c).alias(f"{c}_a") for c in ("title", "title_tokens", "text_tokens", "embedding")],
