@@ -172,3 +172,23 @@ def test_coauthor_matcher_features_reference_path():
 
     assert coauthor_matcher_features([], [["x"]], uniq) == [0.0] * 4
     assert coauthor_matcher_features(["a"], [], uniq) == [0.0] * 4
+
+
+def test_matcher_battery_randomized_reference_sweep():
+    """400 randomized name pairs (initials, dotted forms, prefix
+    fragments, drops, permutations) with per-matcher strict+loose
+    7-vectors MINTED FROM THE REFERENCE (tests/goldens_name_battery.json,
+    harness in the module docstring): every vector must match."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "goldens_name_battery.json")
+    cases = json.load(open(path))
+    assert len(cases) == 400
+    mismatches = []
+    for a, b, strict, loose in cases:
+        got_s = [int(f(a, b, False)) for f in MATCHERS]
+        got_l = [int(f(a, b, True)) for f in MATCHERS]
+        if got_s != strict or got_l != loose:
+            mismatches.append((a, b, got_s, strict, got_l, loose))
+    assert not mismatches, mismatches[:5]
