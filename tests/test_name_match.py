@@ -192,3 +192,22 @@ def test_matcher_battery_randomized_reference_sweep():
         if got_s != strict or got_l != loose:
             mismatches.append((a, b, got_s, strict, got_l, loose))
     assert not mismatches, mismatches[:5]
+
+
+def test_normalize_randomized_reference_sweep():
+    """300 randomized raw names (nicknames, stopwords, dotted/multi-dot
+    initials, diacritics, digits, apostrophes, unicode punctuation)
+    through tokenize_name AND clean_name vs reference-minted goldens
+    (tests/goldens_name_normalize.json)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "goldens_name_normalize.json")
+    cases = json.load(open(path))
+    assert len(cases) == 300
+    bad = [
+        (raw, tokenize_name(raw), tok, clean_name(raw), cln)
+        for raw, tok, cln in cases
+        if tokenize_name(raw) != tok or clean_name(raw) != cln
+    ]
+    assert not bad, bad[:5]
