@@ -381,3 +381,60 @@ def test_ngram_prefix_plan_matches_block_plan(spark):
     assert a == b
     assert (4, 5, 1.0) in a and (1, 3, 0.5) in a
     assert all(x != 6 and y != 6 for x, y, _ in a)
+
+
+def test_ngram_prefix_plan_random_corpora_parity(spark):
+    """5 random corpora × varied thresholds: the prefix-filtered join must
+    equal the block join EXACTLY (pair sets + jaccards) — the no-false-
+    negative prefix bound holds under adversarial token distributions."""
+    import random
+
+    from whoiswho_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial, tau in enumerate((0.3, 0.5, 0.5, 0.7, 0.9)):
+        rows = []
+        for i in range(40):
+            k = rng.randint(1, 12)
+            rows.append(
+                (i, rng.choice("ab"), " ".join(rng.sample(vocab, k)))
+            )
+        df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+        a = {(r["id_a"], r["id_b"], r["jaccard"])
+             for r in ngram_jaccard_pairs(df, "source", threshold=tau).collect()}
+        b = {(r["id_a"], r["id_b"], r["jaccard"])
+             for r in ngram_jaccard_pairs_prefix(df, "source", threshold=tau).collect()}
+        assert a == b, (trial, tau, a ^ b)
+
+
+def test_sharded_ann_random_shapes_parity(spark):
+    """Random shard counts (incl. P > distinct shards and P=1) against the
+    join-plan near-dup operator and the windowed exact top-k."""
+    from whoiswho_spark.operators.ann import (
+        brute_force_topk,
+        embedding_neardup_pairs,
+        sharded_neardup_pairs,
+        sharded_topk,
+    )
+
+    rs = np.random.RandomState(21)
+    vecs = rs.randn(35, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(35)],
+        "vec_id bigint, embedding array<double>",
+    )
+    want_nd = {(r["id_a"], r["id_b"], r["cos"])
+               for r in embedding_neardup_pairs(df, threshold=0.25).collect()}
+    want_tk = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+               for r in brute_force_topk(df.where("vec_id < 4"), df, k=3).collect()}
+    for p in (1, 3, 64):
+        got_nd = {(r["id_a"], r["id_b"], r["cos"])
+                  for r in sharded_neardup_pairs(df, threshold=0.25, n_shards=p).collect()}
+        assert got_nd == want_nd, p
+        got_tk = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+                  for r in sharded_topk(df.where("vec_id < 4"), df, k=3, n_shards=p).collect()}
+        assert got_tk == want_tk, p
