@@ -69,3 +69,38 @@ def test_parquet_table_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([(1, "x")], "id bigint, s string")
     write_table(df, p)
     assert read_table(spark, str(tmp_path), "t").collect() == df.collect()
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Two tables bucketed identically on the join key must join WITHOUT
+    any Exchange (the co-location contract write_bucketed exists for);
+    the same join on plain tables shuffles both sides."""
+    from whoiswho_spark.sources.catalog import write_bucketed
+
+    left = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    write_bucketed(left, "t_bkt_left", "k", n_buckets=8)
+    write_bucketed(right, "t_bkt_right", "k", n_buckets=8)
+    try:
+        bl, br = spark.table("t_bkt_left"), spark.table("t_bkt_right")
+        # disable auto-broadcast so the join strategy is the bucketed SMJ
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = bl.join(br, "k")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert j.count() == 2000
+
+            plain = left.join(right, "k")
+            plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in plain_plan  # the baseline DOES shuffle
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("drop table if exists t_bkt_left")
+        spark.sql("drop table if exists t_bkt_right")

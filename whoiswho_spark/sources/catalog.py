@@ -76,3 +76,27 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str,
 
 def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sorted) managed parquet table — the
+    co-location primitive for repeated large joins: two tables bucketed
+    the same way on the join key join with ZERO shuffle (SortMergeJoin
+    reads aligned buckets directly; see test_bucketed_join_is_shuffle_free).
+
+    This is how the pair/profile/cluster tables would be laid out at
+    100 TB so every per-key stage (pair gen, cluster attach, incremental
+    assign) reuses one physical partitioning instead of re-shuffling per
+    query. (Iceberg's bucket-partition transform is the cluster twin;
+    no Iceberg jars in this sandbox.)"""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
