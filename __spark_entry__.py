@@ -491,13 +491,19 @@ def _q_salted_distinct_count(spark, sf):
 
 
 def _q_ivf_topk(spark, sf):
-    """IVF (KMeans coarse quantizer) approximate top-k — scale path for
-    ANN; approximate + KMeans-dependent → rows-only."""
+    """IVF (KMeans coarse quantizer) top-k — the inverted-file ANN scale
+    path (corpus shuffles ONCE on centroid id, queries fan out n_probe×).
+    The contract query runs FULL probe (n_probe = n_centroids): every
+    corpus vector sits in exactly one shard, so full probe scores the
+    whole corpus exactly once → result is the exact top-k and the same
+    brute-force DuckDB oracle applies, while the PLAN keeps the IVF
+    shape. Approximate (n_probe < n_centroids) recall is pytest-covered
+    (test_dedup_ann_textstats recall@k tests)."""
     from whoiswho_spark.operators.ann import ivf_topk
 
     vecs = _t(spark, sf, "embeddings")
     return ivf_topk(
-        vecs.where(F.col("vec_id") < 10), vecs, n_centroids=8, n_probe=3, k=5
+        vecs.where(F.col("vec_id") < 10), vecs, n_centroids=8, n_probe=8, k=5
     )
 
 
@@ -834,6 +840,46 @@ def _dd_lsh_ann_sql() -> str:
               from scored)
         where rk <= 5
     """
+
+
+def _dd_gbdt_sql() -> str:
+    """DuckDB twin of _q_gbdt_scores: re-fit the IDENTICAL model from the
+    parquet directly (fit_gbdt_numpy is row-order-invariant and the
+    sample bound 100k ≥ the 15k sf0.01 rows, so Spark's limit().collect()
+    and a direct parquet read see the same multiset), then compile the
+    trees to CASE WHEN cascades via gbdt_score_sql. The oracle's
+    independence is in the INFERENCE path (DuckDB CASE WHEN vs Catalyst
+    when-cascade over the distributed table); the fit is shared
+    deterministic numpy. Correctness gate is defined at sf0.01
+    (SPARK_GRAFT_ORACLE_SF_DIR overrides; >100k-row inputs would break
+    the all-rows-sampled equivalence)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from whoiswho_spark.operators.gbdt import fit_gbdt_numpy, gbdt_score_sql
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_totalprice", "o_custkey", "o_orderpriority"],
+    )
+    tp = np.asarray(t["o_totalprice"], dtype=np.float64)
+    ck = np.asarray(t["o_custkey"], dtype=np.int64)
+    pr = np.asarray([len(s) for s in t["o_orderpriority"].to_pylist()], dtype=np.float64)
+    X = np.column_stack([np.fmod(tp, 97.0), (ck % 13).astype(np.float64), pr])
+    y = (tp > 150000).astype(np.float64)
+    model = fit_gbdt_numpy(X, y, ["f_a", "f_b", "f_c"], n_trees=10, max_depth=3)
+    score = gbdt_score_sql(
+        model,
+        {
+            "f_a": "o_totalprice % 97",
+            "f_b": "CAST(o_custkey % 13 AS DOUBLE)",
+            "f_c": "CAST(length(o_orderpriority) AS DOUBLE)",
+        },
+    )
+    return f"select o_orderkey, round({score}, 6) as gbdt_score from orders"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1211,13 +1257,26 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(1 + exp(-((cos - (-0.975)) * (cos - (-0.975))) / (2 * 0.1 * 0.1))), 6) as k0
             from p
         """,
-        # ivf_topk: no SQL oracle (Spark-ML-KMeans-dependent) → rows-only
-        # (recall@k guarantees pytest-checked instead).
+        # ivf_topk contract query is FULL probe (n_probe = n_centroids):
+        # every corpus vector lives in exactly one shard, so the probed
+        # union is the whole corpus and the exact brute-force oracle
+        # applies (plan keeps the IVF shape; approximate recall is
+        # pytest-covered).
+        "ivf_topk": """
+            with scored as (
+                select q.vec_id as query_id, c.vec_id as neighbor_id,
+                       round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) as cos
+                from embeddings q join embeddings c on q.vec_id != c.vec_id
+                where q.vec_id < 10)
+            select query_id, neighbor_id, cos,
+                   cast(rk as int) as rank
+            from (select *, row_number() over
+                     (partition by query_id order by cos desc, neighbor_id asc) as rk
+                  from scored)
+            where rk <= 5
+        """,
+        "gbdt_scores": _dd_gbdt_sql(),
         # incremental_er: stateful streaming (applyInPandasWithState) —
         # non-SQL-expressible → rows-only (stateful semantics
         # pytest-checked in tests/test_streaming_incremental_er.py).
-        # gbdt_scores: driver-side numpy ensemble fit — non-SQL-
-        # expressible → rows-only (catalyst==numpy predict parity,
-        # XOR-learnability, and determinism pytest-checked in
-        # tests/test_gbdt.py).
     }

@@ -123,6 +123,28 @@ def fit_gbdt(
     rows = pairs.select(*feature_cols, label_col).limit(sample_n).collect()
     X = np.asarray([[float(r[c]) for c in feature_cols] for r in rows])
     y = np.asarray([float(r[label_col]) for r in rows])
+    return fit_gbdt_numpy(
+        X, y, feature_cols,
+        n_trees=n_trees, max_depth=max_depth, learning_rate=learning_rate,
+        n_bins=n_bins, reg_lambda=reg_lambda, min_child_weight=min_child_weight,
+    )
+
+
+def fit_gbdt_numpy(
+    X: np.ndarray,
+    y: np.ndarray,
+    feature_cols: list[str],
+    n_trees: int = 30,
+    max_depth: int = 3,
+    learning_rate: float = 0.2,
+    n_bins: int = 32,
+    reg_lambda: float = 1.0,
+    min_child_weight: float = 1e-3,
+) -> dict:
+    """The numpy fit core (row-order-invariant: quantile edges, bincount
+    histograms, and (feature, bin) argmax don't depend on row order).
+    Shared by fit_gbdt and the DuckDB oracle builder, which re-fits the
+    identical model from the parquet directly."""
     edges = _quantile_edges(X, n_bins)
     B = _bin_matrix(X, edges)
     mean = min(max(float(y.mean()), 1e-6), 1 - 1e-6)
@@ -170,6 +192,29 @@ def gbdt_score_col(model: dict) -> "F.Column":
     for t in model["trees"]:
         margin = margin + F.lit(model["lr"]) * node_expr(t)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+
+
+def gbdt_score_sql(model: dict, feature_sql: dict[str, str]) -> str:
+    """Compile the ensemble to ANSI SQL (nested CASE WHEN per tree) —
+    the DuckDB twin of gbdt_score_col, literal-for-literal: Python
+    ``repr(float)`` round-trips exactly to the same double, and both
+    engines evaluate the same left-associated double sum, so scores are
+    bit-identical up to the final round. ``feature_sql`` maps each model
+    feature name to the SQL expression that computes it."""
+
+    def node_sql(node: dict) -> str:
+        if "leaf" in node:
+            return repr(float(node["leaf"]))
+        f = feature_sql[model["features"][node["feat"]]]
+        return (
+            f"(CASE WHEN ({f}) < {repr(float(node['thr']))} "
+            f"THEN {node_sql(node['left'])} ELSE {node_sql(node['right'])} END)"
+        )
+
+    margin = repr(float(model["base"]))
+    for t in model["trees"]:
+        margin = f"{margin} + {repr(float(model['lr']))} * {node_sql(t)}"
+    return f"1.0 / (1.0 + exp(-({margin})))"
 
 
 def gbdt_features_col(model: dict):
