@@ -183,12 +183,16 @@ def test_cc_max_iter_exhaustion_raises_then_resumes(spark, tmp_path):
     ckpt = str(tmp_path / "cc_exhaust")
 
     with pytest.raises(ConvergenceError):
-        connected_components(edf, checkpoint_dir=ckpt, max_iter=1)
+        connected_components(
+            edf, checkpoint_dir=ckpt, max_iter=1, local_finish_threshold=0
+        )
     assert not os.path.exists(f"{ckpt}/converged/_SUCCESS")
     assert os.path.exists(f"{ckpt}/iter_0/_SUCCESS")
     mtime0 = os.path.getmtime(f"{ckpt}/iter_0/_SUCCESS")
 
-    got = connected_components(edf, checkpoint_dir=ckpt, max_iter=25).collect()
+    got = connected_components(
+        edf, checkpoint_dir=ckpt, max_iter=25, local_finish_threshold=0
+    ).collect()
     assert {r["cluster_id"] for r in got} == {"v000"}
     assert len(got) == n
     assert os.path.exists(f"{ckpt}/converged/_SUCCESS")
@@ -283,3 +287,35 @@ def test_bond_threshold_case_matrix(spark):
         ).collect()
     }
     assert got_novs == {2: 5.0, 3: 5.0, 4: 3.0, 5: 3.0, 6: 2.0, 7: 2.0}
+
+
+def test_cc_hybrid_local_finish_equals_iterative(spark):
+    """The union-find finishing pass (default local_finish_threshold)
+    must produce the identical labeling to the pure-iterative path
+    (local_finish_threshold=0) — including component-min cluster ids —
+    on a graph with chains, a cycle, singleton vertices, and a star."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(40)]          # chain
+    edges += [("c0", "c1"), ("c1", "c2"), ("c2", "c0")]                  # cycle
+    edges += [("hub", f"s{i}") for i in range(10)]                        # star
+    edges += [
+        (f"r{rng.randrange(30)}", f"r{rng.randrange(30)}") for _ in range(60)
+    ]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    vdf = edf.selectExpr("src as url").union(edf.selectExpr("dst as url")).union(
+        spark.createDataFrame([("iso1",), ("iso2",)], "url string")
+    )
+    hybrid = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(edf, vertices=vdf).collect()
+    }
+    iterative = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(
+            edf, vertices=vdf, local_finish_threshold=0
+        ).collect()
+    }
+    assert hybrid == iterative
+    assert hybrid["iso1"] == "iso1" and hybrid["n040"] == "n000"

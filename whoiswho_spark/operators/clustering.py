@@ -82,6 +82,56 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _local_union_find_star(edges: DataFrame) -> DataFrame:
+    """Single-task union-find finishing pass: an edge set already below
+    the in-memory bound → its fixpoint star edge set (node, component-min
+    root), node != root — exactly what the large-star/small-star loop
+    would converge to, in ONE task instead of O(log n) more rounds.
+
+    Union-by-min keeps the root the component minimum under Python
+    code-point order, which equals Spark's UTF8String byte order (UTF-8
+    is code-point-order-preserving), so the downstream min-label
+    aggregate agrees with the iterative path. Runs as mapInPandas on a
+    coalesce(1) — bounded memory by construction (caller checks the edge
+    count), executor-side, no driver collect."""
+    import pandas as pd
+
+    schema = edges.schema
+    s_name, d_name = schema[0].name, schema[1].name
+
+    def finish(iters):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes = set()
+        for pdf in iters:
+            for s, d in zip(pdf[s_name], pdf[d_name]):
+                nodes.add(s)
+                nodes.add(d)
+                rs, rd = find(s), find(d)
+                if rs == rd:
+                    continue
+                if rd < rs:
+                    rs, rd = rd, rs
+                parent[rd] = rs
+        out_s, out_d = [], []
+        for x in nodes:
+            r = find(x)
+            if r != x:
+                out_s.append(x)
+                out_d.append(r)
+        yield pd.DataFrame({s_name: out_s, d_name: out_d})
+
+    return edges.coalesce(1).mapInPandas(finish, schema)
+
+
 def _delete_path(spark, path: str) -> None:
     """Recursive delete via Hadoop FS (local paths and object stores alike)."""
     jvm = spark.sparkContext._jvm
@@ -107,12 +157,20 @@ def connected_components(
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    local_finish_threshold: int = 1_000_000,
 ) -> DataFrame:
     """edges(src, dst) → (url, cluster_id STRING = component-min node id).
 
     Alternates large-star/small-star until the edge set is a fixpoint
     (checked by count + order-insensitive checksum — two cheap aggregates,
-    no collect of edges). Each iteration truncates lineage: in-memory
+    no collect of edges). Hybrid finish: star rounds shrink the edge set
+    geometrically; once its count (already in hand from the checksum)
+    drops to ``local_finish_threshold``, a single executor-side
+    union-find task (``_local_union_find_star``) emits the final star set
+    directly — the iterative path's O(log n) tail of 6-shuffle rounds
+    becomes one task. At 100 TB the first rounds run distributed; the
+    sub-bound tail always finishes locally. ``local_finish_threshold=0``
+    forces the pure-iterative path. Each iteration truncates lineage: in-memory
     localCheckpoint by default, or — when ``checkpoint_dir`` is given —
     a parquet checkpoint per iteration (``iter_k`` dirs with _SUCCESS
     markers), so a killed job resumes MID-STAGE from the last completed
@@ -201,8 +259,23 @@ def connected_components(
         prev = None
 
     if not already_converged:
+        if prev is None:
+            prev = input_sum if checkpoint_dir is not None else _checksum(edges)
         converged = False
-        for it in range(start_iter + 1, max_iter):
+        it = start_iter
+        while True:
+            # hybrid tail: once the edge set fits the in-memory bound
+            # (the count is already in hand from the fixpoint checksum),
+            # finish in ONE union-find task instead of O(log n) more
+            # rounds of 6 shuffles each. local_finish_threshold=0
+            # disables (pure-iterative path).
+            if prev[0] <= local_finish_threshold:
+                edges = _persist(_local_union_find_star(edges), it + 1)
+                converged = True
+                break
+            it += 1
+            if it >= max_iter:
+                break
             edges = _persist(_small_star(_large_star(edges)), it)
             cur = _checksum(edges)
             if cur == prev:
