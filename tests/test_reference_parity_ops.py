@@ -36,6 +36,22 @@ def test_cleaning_name_ascii_fold():
     assert cleaning_name("ABC123def") == "abc def"
 
 
+def test_author_matches_block():
+    """Coauthor-vs-target split (data_process.py:146-167): alpha-only
+    lowercase concat of the raw author name equals the block name or its
+    token-reversed form; punctuation/spacing/case must not matter."""
+    from whoiswho_spark.functions.names import author_matches_block
+
+    assert author_matches_block("Jing Zhang", "jingzhang", "zhangjing")
+    assert author_matches_block("ZHANG, Jing", "jingzhang", "zhangjing")
+    assert author_matches_block("Ming-Hua Li", "minghuali", "liminghua")
+    assert not author_matches_block("Jing Zhao", "jingzhang", "zhangjing")
+    assert not author_matches_block("", "jingzhang", "zhangjing")
+    assert not author_matches_block(None, "jingzhang", "zhangjing")
+    # digits are dropped by the alpha-only fold (isalpha filter)
+    assert author_matches_block("Jing2 Zhang", "jingzhang", "zhangjing")
+
+
 def test_match_name():
     from whoiswho_spark.functions.names import match_name
 
