@@ -142,6 +142,44 @@ def _delete_path(spark, path: str) -> None:
         fs.delete(p, True)
 
 
+def _fs_write_text(spark, path: str, content: str) -> None:
+    """Single-file text write via Hadoop FS — a marker/metadata write with
+    ZERO Spark jobs (a tiny-parquet marker costs a full job's fixed
+    overhead per write; at one marker per CC run that overhead dominated
+    the protocol). Works on local paths and object stores alike."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_line(spark, path: str) -> str | None:
+    """First line of a text file via Hadoop FS; None if absent/unreadable
+    (a truncated half-written marker reads as 'no marker' → recompute)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return None
+    try:
+        stream = fs.open(p)
+        try:
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            return reader.readLine()
+        finally:
+            stream.close()
+    except Exception:
+        return None
+
+
 class ConvergenceError(RuntimeError):
     """Raised when the CC loop exhausts max_iter without a checksum fixpoint.
 
@@ -224,24 +262,27 @@ def connected_components(
         return (row["n"], row["h"])
 
     if checkpoint_dir is not None:
-        from whoiswho_spark.plans.metrics import _success_exists
+        import json
 
         # Key the checkpoint state by the input edges' content checksum so a
         # stale dir (different edges, same workdir) is never silently reused.
+        # Stored as a plain-text FS file (zero Spark jobs) at a path whose
+        # existence check matches the _SUCCESS convention.
         input_sum = _checksum(edges)
+        sum_path = f"{checkpoint_dir}/input_checksum/_SUCCESS"
         stored_sum = None
         if not resume:
             _delete_path(spark, checkpoint_dir)
-        elif _success_exists(spark, f"{checkpoint_dir}/input_checksum"):
-            row = spark.read.parquet(f"{checkpoint_dir}/input_checksum").collect()[0]
-            stored_sum = (row["n"], row["h"])
+        else:
+            raw = _fs_read_line(spark, sum_path)
+            if raw is not None:
+                try:
+                    stored_sum = tuple(json.loads(raw))
+                except ValueError:
+                    stored_sum = None
         if stored_sum != input_sum:
             _delete_path(spark, checkpoint_dir)
-            spark.createDataFrame(
-                [input_sum], "n bigint, h bigint"
-            ).coalesce(1).write.mode("overwrite").parquet(
-                f"{checkpoint_dir}/input_checksum"
-            )
+            _fs_write_text(spark, sum_path, json.dumps(list(input_sum)))
 
     start_iter, resumed = _resume_point()
     already_converged = False
@@ -250,12 +291,15 @@ def connected_components(
         prev = _checksum(edges)
         from whoiswho_spark.plans.metrics import _success_exists
 
-        # converged marker is itself a tiny parquet dir → works on any
-        # Hadoop-compatible FS (object stores included), atomic via the
-        # committer like every other checkpoint
+        # converged marker is a plain _SUCCESS file written via the Hadoop
+        # FS API → works on any Hadoop-compatible FS (object stores
+        # included), single-file create, zero Spark jobs
         already_converged = _success_exists(spark, f"{checkpoint_dir}/converged")
     else:
-        edges = _persist(edges, -1) if checkpoint_dir else edges.localCheckpoint()
+        # lineage cut only — _resume_point scans from iter_0, so a parquet
+        # copy of the INPUT would never be read by a resume; localCheckpoint
+        # gives the same cut without the write+read round-trip
+        edges = edges.localCheckpoint()
         prev = None
 
     if not already_converged:
@@ -294,9 +338,7 @@ def connected_components(
                 )
             )
         if checkpoint_dir is not None:
-            spark.range(1).write.mode("overwrite").parquet(
-                f"{checkpoint_dir}/converged"
-            )
+            _fs_write_text(spark, f"{checkpoint_dir}/converged/_SUCCESS", "")
 
     # At the fixpoint every edge is (node, component_min).
     labels = (
