@@ -119,7 +119,11 @@ def assign_pages(
         F.col("url").alias("url_prof"),
         *[F.col(c).alias(f"{c}_b") for c in ("title", "title_tokens", "text_tokens", "embedding")],
     )
-    scored = score_pairs(pairs.join(a, "url_new").join(b, "url_prof"))
+    scored = score_pairs(
+        pairs.join(a, "url_new").join(b, "url_prof"),
+        id_a="url_new",
+        id_b="url_prof",
+    )
 
     per_cluster = (
         scored.join(
