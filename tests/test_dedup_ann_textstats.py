@@ -147,6 +147,44 @@ def test_score_pairs_arrow_equals_catalyst(spark):
             assert abs(a[k][col] - c[k][col]) < 1e-9, (k, col)
 
 
+def test_score_pairs_memo_hits_and_cap_clears_equal_catalyst(spark, monkeypatch):
+    """The page-profile memo path: pairs that REPEAT urls (cache hits)
+    and a cap small enough to force mid-batch clear-and-refill must both
+    produce features identical to the Catalyst plan."""
+    import whoiswho_spark.operators.scoring as scoring
+
+    monkeypatch.setattr(scoring, "MEMO_CAP", 4)
+    rs = np.random.RandomState(11)
+    pages = {}
+    for i in range(12):
+        t = " ".join(rs.choice(list("abcdefgh"), 5))
+        pages[f"p{i}"] = (t, t.split(), (t * 3).split(),
+                          [float(x) for x in rs.randn(8)])
+    rows = []
+    ids = list(pages)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            (ta, tta, xta, ea), (tb, ttb, xtb, eb) = pages[ids[i]], pages[ids[j]]
+            rows.append((ids[i], ids[j], ta, tb, tta, ttb, xta, xtb, ea, eb))
+    pairs = spark.createDataFrame(
+        rows,
+        "url_a string, url_b string, title_a string, title_b string, "
+        "title_tokens_a array<string>, title_tokens_b array<string>, "
+        "text_tokens_a array<string>, text_tokens_b array<string>, "
+        "embedding_a array<double>, embedding_b array<double>",
+    ).coalesce(1)  # one batch → memo exercises hits AND cap clears
+    cols = ["url_a", "url_b", "f_emb_dot", "f_text_tanimoto",
+            "f_title_cos3", "f_title_common", "score"]
+    a = {(r["url_a"], r["url_b"]): r
+         for r in scoring.score_pairs(pairs, engine="arrow").select(cols).collect()}
+    c = {(r["url_a"], r["url_b"]): r
+         for r in scoring.score_pairs(pairs, engine="catalyst").select(cols).collect()}
+    assert a.keys() == c.keys() and len(a) == 66
+    for k in a:
+        for col in cols[2:]:
+            assert abs(a[k][col] - c[k][col]) < 1e-9, (k, col)
+
+
 def test_blas_plans_match_join_plans(spark):
     """The broadcast-matmul kernels are physical rewrites — results must
     equal the join-plan operators exactly."""

@@ -36,6 +36,12 @@ from whoiswho_spark.functions.similarity import (
 )
 
 
+# page-profile memo capacity for the fused scoring UDF (entries ≈ 10 KB
+# each; bounded so multi-worker LLC/bandwidth pressure stays flat).
+# Module-level so tests can stress the clear-and-refill path.
+MEMO_CAP = 2048
+
+
 def _score_expr() -> "F.Column":
     return (
         F.lit(W_AUTHOR) * F.col("f_emb_dot")
@@ -119,7 +125,7 @@ def _all_features_udf():
         # rate high even with a small cap because entries are consumed
         # in contiguous runs.
         memo: dict = {}
-        _MEMO_CAP = 2048
+        cap = MEMO_CAP
 
         def profile(u, title, ttoks, xtoks):
             r = memo.get(u)
@@ -129,7 +135,7 @@ def _all_features_udf():
                     c[g] = c.get(g, 0) + 1
                 nrm = np.sqrt(sum(v * v for v in c.values()))
                 r = (set(xtoks), set(ttoks), c, nrm)
-                if len(memo) >= _MEMO_CAP:
+                if len(memo) >= cap:
                     memo.clear()
                 memo[u] = r
             return r
