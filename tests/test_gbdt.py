@@ -84,3 +84,43 @@ def test_gbdt_separates_er_pairs(spark):
     pmean = np.mean([r["p"] for r in got if r["label"] == 1.0])
     nmean = np.mean([r["p"] for r in got if r["label"] == 0.0])
     assert pmean > 0.9 and nmean < 0.1, (pmean, nmean)
+
+
+def test_per_group_gbdt_separates_group_flipped_labels(spark):
+    """Two groups with OPPOSITE labelings of the same feature space: a
+    single global model cannot beat chance on both, but per-group fits
+    (groupBy().applyInPandas) separate each group cleanly. Also checks
+    the small-group base-rate fallback and rerun determinism."""
+    import numpy as np
+
+    from whoiswho_spark.operators.gbdt import fit_predict_gbdt_per_group
+
+    rs = np.random.RandomState(5)
+    rows = []
+    for g, flip in (("ga", 0.0), ("gb", 1.0)):
+        for i in range(200):
+            # margin around the x=5 boundary so no quantile bin straddles it
+            x = float(rs.uniform(0, 4.0)) if i % 2 else float(rs.uniform(6.0, 10.0))
+            label = float(x > 5.0) if flip == 0.0 else float(x <= 5.0)
+            rows.append((g, f"{g}-{i}", x, float(rs.uniform()), label))
+    rows += [("tiny", f"tiny-{i}", 1.0, 1.0, 1.0) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "blk string, url string, f_x double, f_noise double, label double"
+    )
+    out = fit_predict_gbdt_per_group(
+        df, "blk", ["f_x", "f_noise"], n_trees=10, min_rows=8
+    )
+    got = {r["url"]: r["gbdt_score"] for r in out.collect()}
+    assert len(got) == 403
+    labels = {r["url"]: r["label"] for r in df.collect()}
+    # per-group AUC-ish check: every positive scores above every negative mean
+    for g in ("ga", "gb"):
+        pos = [got[u] for u in got if u.startswith(g) and labels[u] == 1.0]
+        neg = [got[u] for u in got if u.startswith(g) and labels[u] == 0.0]
+        assert min(pos) > max(neg), (g, min(pos), max(neg))
+    # tiny group: base-rate fallback (all labels 1.0 → score 1.0)
+    assert all(abs(got[f"tiny-{i}"] - 1.0) < 1e-12 for i in range(3))
+    # determinism
+    got2 = {r["url"]: r["gbdt_score"] for r in fit_predict_gbdt_per_group(
+        df, "blk", ["f_x", "f_noise"], n_trees=10, min_rows=8).collect()}
+    assert got == got2

@@ -240,3 +240,62 @@ def gbdt_predict_udf(model: dict):
     # are not resolvable by pandas_udf here)
     predict.__annotations__ = {"feats": pd.Series, "return": pd.Series}
     return pandas_udf(predict, DoubleType())
+
+
+def fit_predict_gbdt_per_group(
+    df: DataFrame,
+    group_col: str,
+    feature_cols: list[str],
+    label_col: str = "label",
+    id_col: str = "url",
+    n_trees: int = 30,
+    max_depth: int = 3,
+    learning_rate: float = 0.2,
+    n_bins: int = 32,
+    min_rows: int = 8,
+) -> DataFrame:
+    """Per-group GBDT fit+predict via ``groupBy().applyInPandas`` — the
+    grouped-ML scale pattern (same shape as the per-block DBSCAN twin,
+    clustering_dbscan.py): each group's model is fit ON the executor
+    holding that group, so nothing but the grouping shuffle moves and
+    model count scales with groups, not with a driver loop.
+
+    Use when score distributions differ per block/domain (the reference
+    fits ONE global GBDT over all blocks, ClassficationModels.py:138-148;
+    a per-name-block variant is the natural extension its per-block
+    DBSCAN already implies). Groups smaller than ``min_rows`` get the
+    base-rate score (their label mean) instead of a degenerate tree fit.
+
+    Returns (group_col, id_col, gbdt_score DOUBLE) — deterministic:
+    fit_gbdt_numpy is row-order-invariant and each group is complete in
+    one pandas frame.
+    """
+    import pandas as pd
+
+    out_schema = f"{group_col} string, {id_col} string, gbdt_score double"
+
+    def fit_predict(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = pdf[feature_cols].to_numpy(dtype=np.float64)
+        y = pdf[label_col].to_numpy(dtype=np.float64)
+        if len(pdf) < min_rows or y.min() == y.max():
+            score = np.full(len(pdf), float(y.mean()) if len(y) else 0.0)
+        else:
+            model = fit_gbdt_numpy(
+                X, y, list(feature_cols),
+                n_trees=n_trees, max_depth=max_depth,
+                learning_rate=learning_rate, n_bins=n_bins,
+            )
+            score = 1.0 / (1.0 + np.exp(-gbdt_margin(model, X)))
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col],
+                id_col: pdf[id_col].astype(str),
+                "gbdt_score": score,
+            }
+        )
+
+    return (
+        df.select(group_col, id_col, label_col, *feature_cols)
+        .groupBy(group_col)
+        .applyInPandas(fit_predict, out_schema)
+    )
