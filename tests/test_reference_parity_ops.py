@@ -36,6 +36,32 @@ def test_cleaning_name_ascii_fold():
     assert cleaning_name("ABC123def") == "abc def"
 
 
+def test_match_name_names_wrong_table():
+    """Curated wrong-name substitutions (ref character/match_name.py:5-18,
+    79-85). Goldens MINTED BY RUNNING THE REFERENCE match_name with a
+    pinyin stub (non-CJK inputs never reach it); the plain prefix chain
+    would reject every positive here except the last two controls."""
+    from whoiswho_spark.functions.names import match_name
+
+    golden = [
+        ("Takashi Yamada", "tadashi_yamada", True),
+        ("Takahiro Yamada", "tadashi_yamada", True),
+        ("Naoto Suzuki", "naoki_suzuki", True),
+        ("Junko Tanaka", "junichi_tanaka", True),
+        ("Isaku Sato", "isao_sato", True),
+        ("Kentarok Ito", "kentaro_ito", True),
+        ("Ulrich Meyer", "ulrike_meyer", True),
+        ("Akimasa Kato", "akira_kato", True),
+        ("Naomi Suzuki", "naoki_suzuki", True),
+        ("Naoko Suzuki", "naoki_suzuki", False),  # not in the table
+        ("Jing Zhang", "jing_zhang", True),        # unaffected plain path
+        ("Z J", "jing_zhang", True),
+        ("Tomohiro Akira Tanaka", "takamitsu_tanaka", False),
+    ]
+    for name, target, want in golden:
+        assert match_name(name, target) is want, (name, target)
+
+
 def test_author_matches_block():
     """Coauthor-vs-target split (data_process.py:146-167): alpha-only
     lowercase concat of the raw author name equals the block name or its

@@ -122,3 +122,22 @@ NICKNAME_DICT = {
     "ronnie": "veronica", "vonna": "yvonne", "peggy": "margaret",
     "ted": "edward", "sally": "sarah", "harry": "henry",
 }
+
+
+# Known-wrong romanized given-name variants → the regex that the correct
+# matching should use instead of the plain prefix chain — behavioral
+# contract data copied from the reference's curated table
+# (/root/reference/whoiswho/character/match_name.py:5-18; entries were
+# found by the reference authors in their train/valid/test splits).
+NAMES_WRONG: tuple[tuple[tuple[str, ...], str], ...] = (
+    (("takahiro", "toshiyuki", "takeshi", "toshiyuki", "tomohiro",
+      "takamitsu", "takahisa", "takashi", "takahiko", "takayuki"),
+     "ta(d|k)ashi"),
+    (("akimasa", "akio", "akito"), "akira"),
+    (("kentarok",), "kentaro"),
+    (("xiaohuatony", "tonyxiaohua"), "xiaohua"),
+    (("ulrich",), "ulrike"),
+    (("naoto", "naomi"), "naoki"),
+    (("junko",), "junichi"),
+    (("isaku",), "isao"),
+)

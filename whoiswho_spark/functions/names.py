@@ -21,6 +21,8 @@ from pyspark.sql import functions as F  # noqa: F401  (re-exported surface)
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
+from whoiswho_spark.constants import NAMES_WRONG
+
 _NON_ALPHA = re.compile(r"[^a-z]+")
 
 
@@ -118,8 +120,9 @@ def get_author_index(name: str, dnames: list[str]) -> int:
 def match_name(name: str, target_name: str) -> bool:
     """Regex-form fuzzy name match vs a 'first_last' target
     (/root/reference/whoiswho/character/match_name.py:31-94 semantics,
-    minus the CJK→pinyin branch and the hardcoded wrong-name table —
-    both depend on packages/data absent here and are gated out):
+    incl. the curated wrong-name substitution table
+    (constants.NAMES_WRONG, ref match_name.py:5-18,79-85); only the
+    CJK→pinyin branch stays gated out — the pinyin package is absent):
 
     - ascii-fold, lowercase, non-alpha → space, tokenize; <2 tokens → no.
     - 3 tokens: (first middle last) matches if t0 prefixes first and t2
@@ -152,7 +155,12 @@ def match_name(name: str, target_name: str) -> bool:
             if re.match(f"{tokens[2]}.*{tokens[1]}.*", first_name):
                 return True
     if re.match(tokens[-1], last_name):
-        if re.match(".*".join(tokens[:-1]) + ".*", first_name):
+        candidate = "".join(tokens[:-1])
+        remain = next(
+            (right for wrong, right in NAMES_WRONG if candidate in wrong),
+            ".*".join(tokens[:-1]) + ".*",
+        )
+        if re.match(remain, first_name):
             return True
         if len(tokens) == 3 and len(tokens[0]) == 1 and len(tokens[1]) == 1:
             if re.match(f"{tokens[1]}.*{tokens[0]}.*", first_name):
