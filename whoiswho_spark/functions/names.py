@@ -134,6 +134,16 @@ def match_name(name: str, target_name: str) -> bool:
     """
     first_name, _, last_name = target_name.partition("_")
     first_name = first_name.replace("-", "")
+    if any("一" <= ch <= "龥" for ch in name):
+        # CJK branch (ref match_name.py:38-44): strip to CJK+space,
+        # romanize, compare to last+first concat. Gated on pypinyin —
+        # absent package → no match claim rather than a wrong one.
+        try:  # optional parity dependency
+            from pypinyin import lazy_pinyin  # type: ignore
+        except ImportError:
+            return False
+        cjk = re.sub("[^ 一-龥]", "", name).strip()
+        return "".join(lazy_pinyin(cjk)).replace(" ", "") == last_name + first_name
     folded = (
         unicodedata.normalize("NFKD", name).encode("ascii", "ignore").decode("ascii")
     )
