@@ -390,6 +390,53 @@ def _q_media_meta(spark, sf):
     )
 
 
+def _media_payloads(spark, sf):
+    """Shared synthetic-binary builder for the multimodal queries
+    (payload dims derived deterministically from doc columns)."""
+    from whoiswho_spark.operators.multimodal import synthetic_media_payload_col
+
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        synthetic_media_payload_col(
+            F.pmod(F.col("doc_id"), F.lit(3)),
+            F.lit(1) + F.pmod(F.col("n_chars"), F.lit(2048)),
+            F.lit(1) + F.pmod(F.col("doc_id"), F.lit(1024)),
+        ).alias("payload"),
+    )
+
+
+def _q_media_byte_features(spark, sf):
+    """Multimodal content feature-extract: byte entropy (log2) +
+    printable ratio via a vectorized numpy mapInPandas kernel. The
+    oracle re-derives both from hex-pair exploding in DuckDB (hex pairs
+    are a bijection of the byte stream)."""
+    from whoiswho_spark.operators.multimodal import media_byte_features
+
+    return media_byte_features(_media_payloads(spark, sf))
+
+
+def _q_media_frames(spark, sf):
+    """Frame sampling over opaque binaries — fixed-size windows at
+    stride offsets, pure Catalyst (hex once, posexplode bounded offsets,
+    substring per frame). The video/audio frame-extraction plumbing at
+    its scale shape: no Python, no full-payload replication."""
+    from whoiswho_spark.operators.multimodal import sample_frames
+
+    return sample_frames(
+        _media_payloads(spark, sf), frame_size=8, stride=16, max_frames=4
+    )
+
+
+def _q_media_resize_plan(spark, sf):
+    """Metadata-level resize planning: REAL header decode → aspect-
+    preserving target dims capped at 512 (floor(x*scale+0.5) integer
+    math, portable across engines). The stage before pixel decode in a
+    media pipeline."""
+    from whoiswho_spark.operators.multimodal import extract_media_meta, resize_plan
+
+    return resize_plan(extract_media_meta(_media_payloads(spark, sf)), max_side=512)
+
+
 def _q_lsh_ann_topk(spark, sf):
     """LSH-bucketed ANN (scale path; approximate — rows-only check)."""
     from whoiswho_spark.operators.ann import lsh_bucketed_topk
@@ -733,6 +780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "simhash_pairs": _q_simhash_pairs,
         "media_meta": _q_media_meta,
+        "media_byte_features": _q_media_byte_features,
+        "media_frames": _q_media_frames,
+        "media_resize_plan": _q_media_resize_plan,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "lang_id": _q_lang_id,
         "idf_table": _q_idf_table,
@@ -880,6 +930,28 @@ def _dd_gbdt_sql() -> str:
         },
     )
     return f"select o_orderkey, round({score}, 6) as gbdt_score from orders"
+
+
+# shared CTE: the synthetic media payload as a HEX string, derived from
+# doc columns exactly like synthetic_media_payload_col (PNG/JPEG/GIF)
+_MEDIA_HEX_CTE = """
+    with p as (
+      select doc_id,
+             case doc_id % 3
+               when 0 then '89504E470D0A1A0A0000000D49484452'
+                           || lpad(hex(1 + (n_chars % 2048)), 8, '0')
+                           || lpad(hex(1 + (doc_id % 1024)), 8, '0')
+               when 1 then 'FFD8FFC0001108'
+                           || lpad(hex(1 + (doc_id % 1024)), 4, '0')
+                           || lpad(hex(1 + (n_chars % 2048)), 4, '0')
+               else '474946383961'
+                           || lpad(hex((1 + (n_chars % 2048)) % 256), 2, '0')
+                           || lpad(hex((1 + (n_chars % 2048)) // 256), 2, '0')
+                           || lpad(hex((1 + (doc_id % 1024)) % 256), 2, '0')
+                           || lpad(hex((1 + (doc_id % 1024)) // 256), 2, '0')
+             end as hx
+      from documents)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1238,6 +1310,42 @@ def oracle_sql() -> dict[str, str]:
                    cast(1 + (n_chars % 2048) as int) as width,
                    cast(1 + (doc_id % 1024) as int) as height
             from documents
+        """,
+        # the multimodal oracles rebuild the payload as its HEX string in
+        # SQL (mirror of synthetic_media_payload_col's fragments) — hex
+        # pairs are a bijection of the byte stream, so entropy/printable
+        # ratio/frames over pairs equal the Spark side's byte-level math
+        "media_byte_features": _MEDIA_HEX_CTE + """
+            , b as (select doc_id, hx, unnest(range(0, length(hx)//2)) as g from p)
+            select doc_id,
+                   count(*)::bigint as n_bytes,
+                   round(entropy(substring(hx, (g*2+1)::int, 2)) + 0, 6) as byte_entropy,
+                   round(avg(case when substring(hx, (g*2+1)::int, 2)
+                                  between '20' and '7E' then 1.0 else 0.0 end), 6)
+                     as printable_ratio
+            from b group by doc_id
+        """,
+        "media_frames": _MEDIA_HEX_CTE + """
+            , f as (select doc_id, hx,
+                           unnest(range(0,
+                                        least(48, ((length(hx)//2 - 1)
+                                                   - ((length(hx)//2 - 1) % 16))) + 1,
+                                        16)) as o
+                    from p where length(hx) > 0)
+            select doc_id, cast(o // 16 as int) as frame_idx,
+                   substring(hx, (o*2+1)::int, 16) as frame_hex
+            from f
+        """,
+        "media_resize_plan": """
+            with d as (select doc_id,
+                              cast(1 + (n_chars % 2048) as double) as w,
+                              cast(1 + (doc_id % 1024) as double) as h
+                       from documents),
+            s as (select *, least(1.0, 512.0 / greatest(w, h)) as sc from d)
+            select doc_id, cast(w as int) as width, cast(h as int) as height,
+                   cast(floor(w * sc + 0.5) as int) as target_width,
+                   cast(floor(h * sc + 0.5) as int) as target_height
+            from s
         """,
         "simhash_pairs": _dd_simhash_sql(),
         "lsh_ann_topk": _dd_lsh_ann_sql(),

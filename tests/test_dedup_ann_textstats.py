@@ -476,3 +476,41 @@ def test_sharded_ann_random_shapes_parity(spark):
         got_tk = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
                   for r in sharded_topk(df.where("vec_id < 4"), df, k=3, n_shards=p).collect()}
         assert got_tk == want_tk, p
+
+
+def test_media_frames_and_features_edges(spark):
+    """sample_frames: short tails kept, empty payloads dropped, offsets
+    bounded by max_frames; media_byte_features: known entropies;
+    resize_plan: aspect preserved, never upscales."""
+    from whoiswho_spark.operators.multimodal import (
+        media_byte_features,
+        resize_plan,
+        sample_frames,
+    )
+
+    rows = [
+        (1, bytearray(b"abcdefgh" * 10)),   # 80 bytes -> 4 frames (cap)
+        (2, bytearray(b"abc")),             # 3 bytes -> 1 short frame
+        (3, bytearray(b"")),                # empty -> no frames
+        (4, bytearray(bytes(range(256)))),  # uniform -> entropy 8.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    frames = {
+        (r["doc_id"], r["frame_idx"]): r["frame_hex"]
+        for r in sample_frames(df, frame_size=8, stride=16, max_frames=4).collect()
+    }
+    assert sorted(k[1] for k in frames if k[0] == 1) == [0, 1, 2, 3]
+    assert frames[(2, 0)] == "616263"          # short tail kept
+    assert not any(k[0] == 3 for k in frames)  # empty dropped
+    feats = {r["doc_id"]: r for r in media_byte_features(df).collect()}
+    assert feats[4]["byte_entropy"] == 8.0 and feats[4]["n_bytes"] == 256
+    assert feats[1]["printable_ratio"] == 1.0
+    assert feats[3]["n_bytes"] == 0 and feats[3]["byte_entropy"] == 0.0
+    meta = spark.createDataFrame(
+        [(1, 1024, 512), (2, 100, 50), (3, 512, 1024)],
+        "doc_id long, width int, height int",
+    )
+    plan = {r["doc_id"]: r for r in resize_plan(meta, max_side=512).collect()}
+    assert (plan[1]["target_width"], plan[1]["target_height"]) == (512, 256)
+    assert (plan[2]["target_width"], plan[2]["target_height"]) == (100, 50)  # no upscale
+    assert (plan[3]["target_width"], plan[3]["target_height"]) == (256, 512)

@@ -140,3 +140,105 @@ def synthetic_media_payload_col(kind_col, width_col, height_col):
     return F.unhex(
         F.when(kind_col == 0, png_hex).when(kind_col == 1, jpg_hex).otherwise(gif_hex)
     )
+
+
+def media_byte_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content feature-extract over opaque binaries — (doc_id, n_bytes,
+    byte_entropy, printable_ratio) via mapInPandas with a vectorized
+    numpy kernel (np.frombuffer + bincount per payload; no Python loop
+    over bytes). Shannon entropy is log2; -0.0 is normalized to 0.0 for
+    engine portability. The DuckDB oracle re-derives both features from
+    hex-pair exploding (a bijection of the byte stream)."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ents, prints, sizes = [], [], []
+            for p in pdf[payload_col]:
+                a = np.frombuffer(p or b"", dtype=np.uint8)
+                sizes.append(len(a))
+                if len(a) == 0:
+                    ents.append(0.0)
+                    prints.append(0.0)
+                    continue
+                cnt = np.bincount(a, minlength=256)
+                pr = cnt[cnt > 0] / len(a)
+                ents.append(round(float(-(pr * np.log2(pr)).sum()) + 0.0, 6))
+                prints.append(
+                    round(float(((a >= 0x20) & (a <= 0x7E)).mean()), 6)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pd.array(sizes, dtype="int64"),
+                    "byte_entropy": ents,
+                    "printable_ratio": prints,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        feats,
+        schema="doc_id bigint, n_bytes bigint, byte_entropy double, printable_ratio double",
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_size: int = 8,
+    stride: int = 16,
+    max_frames: int = 4,
+) -> DataFrame:
+    """Frame sampling over opaque binaries — the video/audio
+    frame-extraction PLUMBING (fixed-size windows at stride offsets),
+    pure Catalyst: hex once, posexplode a bounded offset sequence,
+    substring per frame. No Python anywhere; frames come out hex-encoded
+    (portable to the DuckDB oracle and to any downstream decoder).
+    Returns (doc_id, frame_idx INT, frame_hex STRING); short tails are
+    kept (substring clamps), empty payloads produce no frames."""
+    hexed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.hex(F.col(payload_col)).alias("_hex"),
+        F.length(F.col(payload_col)).alias("_n"),
+    ).where(F.col("_n") > 0)
+    offsets = F.sequence(
+        F.lit(0),
+        F.least(
+            F.lit((max_frames - 1) * stride),
+            (F.col("_n") - 1) - F.pmod(F.col("_n") - 1, F.lit(stride)),
+        ),
+        F.lit(stride),
+    )
+    return (
+        hexed.select(
+            "doc_id", "_hex", F.posexplode(offsets).alias("frame_idx", "_off")
+        )
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.substring(
+                F.col("_hex"), F.col("_off") * 2 + 1, F.lit(frame_size * 2)
+            ).alias("frame_hex"),
+        )
+    )
+
+
+def resize_plan(meta: DataFrame, max_side: int = 512) -> DataFrame:
+    """Metadata-level resize planning (the stage BEFORE pixel decode):
+    aspect-preserving target dims capped at ``max_side``. Pure Catalyst
+    integer math — floor(dim*scale + 0.5) on both engines (portable
+    half-up without relying on engine round() semantics). Upscaling
+    never happens (scale capped at 1)."""
+    w = F.col("width").cast("double")
+    h = F.col("height").cast("double")
+    scale = F.least(F.lit(1.0), F.lit(float(max_side)) / F.greatest(w, h))
+    return meta.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(w * scale + F.lit(0.5)).cast("int").alias("target_width"),
+        F.floor(h * scale + F.lit(0.5)).cast("int").alias("target_height"),
+    )
