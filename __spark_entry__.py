@@ -372,20 +372,9 @@ def _q_media_meta(spark, sf):
     mapInPandas REAL header decode (IHDR / SOF scan / logical screen
     descriptor). The oracle recomputes the expected dimensions from the
     same doc columns — a true end-to-end check of the binary round-trip."""
-    from whoiswho_spark.operators.multimodal import (
-        extract_media_meta,
-        synthetic_media_payload_col,
-    )
+    from whoiswho_spark.operators.multimodal import extract_media_meta
 
-    docs = _t(spark, sf, "documents").select(
-        "doc_id",
-        synthetic_media_payload_col(
-            F.pmod(F.col("doc_id"), F.lit(3)),
-            F.lit(1) + F.pmod(F.col("n_chars"), F.lit(2048)),
-            F.lit(1) + F.pmod(F.col("doc_id"), F.lit(1024)),
-        ).alias("payload"),
-    )
-    return extract_media_meta(docs).select(
+    return extract_media_meta(_media_payloads(spark, sf)).select(
         "doc_id", "n_bytes", "media_type", "width", "height"
     )
 

@@ -514,3 +514,35 @@ def test_media_frames_and_features_edges(spark):
     assert (plan[1]["target_width"], plan[1]["target_height"]) == (512, 256)
     assert (plan[2]["target_width"], plan[2]["target_height"]) == (100, 50)  # no upscale
     assert (plan[3]["target_width"], plan[3]["target_height"]) == (256, 512)
+
+
+def test_score_pairs_memo_not_shared_across_namespaced_sides(spark):
+    """RND-shape inputs: the SAME id string on both sides but carrying
+    DIFFERENT payloads (url_new vs url_prof tables). With
+    memo_shared_ids=False the b-side must NOT reuse the a-side profile
+    (which would score the page against itself, tanimoto 1.0)."""
+    from whoiswho_spark.operators.scoring import score_pairs
+
+    rows = [(
+        "samekey", "samekey",
+        "alpha beta", "gamma delta",
+        ["alpha", "beta"], ["gamma", "delta"],
+        ["alpha", "beta"], ["gamma", "delta"],
+        [1.0, 0.0], [0.0, 1.0],
+    )]
+    pairs = spark.createDataFrame(
+        rows,
+        "url_new string, url_prof string, title_a string, title_b string, "
+        "title_tokens_a array<string>, title_tokens_b array<string>, "
+        "text_tokens_a array<string>, text_tokens_b array<string>, "
+        "embedding_a array<double>, embedding_b array<double>",
+    )
+    r = score_pairs(
+        pairs, id_a="url_new", id_b="url_prof", memo_shared_ids=False
+    ).collect()[0]
+    assert r["f_text_tanimoto"] == 0.0 and r["f_title_common"] == 0.0
+    # shared-memo mode WOULD alias the sides here (the documented hazard)
+    r2 = score_pairs(
+        pairs, id_a="url_new", id_b="url_prof", memo_shared_ids=True
+    ).collect()[0]
+    assert r2["f_text_tanimoto"] == 1.0

@@ -211,6 +211,22 @@ def test_relational_channel_f1_gate(spark, corpus, workdir):
     assert c1_rows == sorted(map(tuple, c2.collect()))
 
 
+def test_w2v_plus_relational_channel_f1_gate(spark, corpus, workdir):
+    """REGRESSION: relational channel over IN-PIPELINE w2v embeddings.
+    Mean-pooled Word2Vec vectors are NOT unit-norm, so the semantic
+    channel must compute a true cosine distance — reusing the raw
+    f_emb_dot as (1 - dot) silently corrupted every distance on this
+    path (all-noise or all-merge DBSCAN input)."""
+    wd = f"{workdir}/w2v_rel"
+    pages, _, labels = _split(corpus)
+    cfg = ERConfig(
+        cluster_method="dbscan", use_relational=True, relational_repeats=2
+    )
+    run_pipeline(spark, pages, None, wd, cfg)
+    f1 = evaluate_run(spark, wd, labels)
+    assert f1 >= 0.99, f"w2v+relational pairwise F1 {f1} < 0.99"
+
+
 def test_rnd_fuzzy_fallback_resolves_nickname_titles(spark):
     """pretreat_unass parity: a new page whose LSH keys miss every profile
     still finds its cluster through the 7-matcher battery with the

@@ -313,7 +313,7 @@ def connected_components(
             # finish in ONE union-find task instead of O(log n) more
             # rounds of 6 shuffles each. local_finish_threshold=0
             # disables (pure-iterative path).
-            if prev[0] <= local_finish_threshold:
+            if local_finish_threshold > 0 and prev[0] <= local_finish_threshold:
                 edges = _persist(_local_union_find_star(edges), it + 1)
                 converged = True
                 break

@@ -117,10 +117,15 @@ def fit_gbdt(
     min_child_weight: float = 1e-3,
     sample_n: int = 100_000,
 ) -> dict:
-    """Fit the boosted ensemble on a bounded deterministic sample
-    (``limit(sample_n)`` — same bounded-fit discipline as
-    fit_logistic_scorer); returns a plain-dict model artifact."""
-    rows = pairs.select(*feature_cols, label_col).limit(sample_n).collect()
+    """Fit the boosted ensemble on a bounded deterministic sample —
+    ``orderBy(all columns).limit(sample_n)``, which Spark executes as
+    TakeOrderedAndProject (per-partition top-K + merge, no full sort),
+    so the sampled MULTISET is a pure function of the data: a bare
+    limit() returns whichever tasks answer first and would make the fit
+    (and the gbdt_scores DuckDB oracle) run-dependent whenever the input
+    exceeds the bound. Returns a plain-dict model artifact."""
+    cols = [*feature_cols, label_col]
+    rows = pairs.select(*cols).orderBy(*cols).limit(sample_n).collect()
     X = np.asarray([[float(r[c]) for c in feature_cols] for r in rows])
     y = np.asarray([float(r[label_col]) for r in rows])
     return fit_gbdt_numpy(
@@ -272,7 +277,9 @@ def fit_predict_gbdt_per_group(
     """
     import pandas as pd
 
-    out_schema = f"{group_col} string, {id_col} string, gbdt_score double"
+    gtype = df.schema[group_col].dataType.simpleString()
+    itype = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{group_col} {gtype}, {id_col} {itype}, gbdt_score double"
 
     def fit_predict(pdf: pd.DataFrame) -> pd.DataFrame:
         X = pdf[feature_cols].to_numpy(dtype=np.float64)
@@ -289,7 +296,7 @@ def fit_predict_gbdt_per_group(
         return pd.DataFrame(
             {
                 group_col: pdf[group_col],
-                id_col: pdf[id_col].astype(str),
+                id_col: pdf[id_col],
                 "gbdt_score": score,
             }
         )

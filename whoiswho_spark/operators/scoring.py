@@ -51,7 +51,7 @@ def _score_expr() -> "F.Column":
     )
 
 
-def _all_features_udf():
+def _all_features_udf(shared_ids: bool = True):
     """ONE Arrow-batched pandas UDF computing the full feature struct.
 
     The north-star contract ("similarity features entirely in vectorized
@@ -124,10 +124,18 @@ def _all_features_udf():
         # scaling via LLC/bandwidth pressure; sorted input keeps the hit
         # rate high even with a small cap because entries are consumed
         # in contiguous runs.
+        # shared_ids=False namespaces the memo per pair side: when the
+        # two sides come from DIFFERENT payload tables (RND: url_new vs
+        # url_prof), an id present in both must not return the other
+        # side's profile. The self-join case keeps the shared key (both
+        # sides carry the identical payload for a given id — sharing is
+        # the point).
         memo: dict = {}
         cap = MEMO_CAP
 
-        def profile(u, title, ttoks, xtoks):
+        def profile(u, title, ttoks, xtoks, side):
+            if not shared_ids:
+                u = (side, u)
             r = memo.get(u)
             if r is None:
                 c: dict = {}
@@ -142,10 +150,12 @@ def _all_features_udf():
 
         for i in range(n):
             xa, ta, ca, na = profile(
-                url_a.iat[i], title_a.iat[i], title_toks_a.iat[i], text_toks_a.iat[i]
+                url_a.iat[i], title_a.iat[i], title_toks_a.iat[i],
+                text_toks_a.iat[i], "a",
             )
             xb, tb, cb, nb = profile(
-                url_b.iat[i], title_b.iat[i], title_toks_b.iat[i], text_toks_b.iat[i]
+                url_b.iat[i], title_b.iat[i], title_toks_b.iat[i],
+                text_toks_b.iat[i], "b",
             )
             inter = len(xa & xb)
             u = len(xa) + len(xb) - inter
@@ -190,6 +200,7 @@ def score_pairs(
     id_a: str = "url_a",
     id_b: str = "url_b",
     cluster_batches: bool = True,
+    memo_shared_ids: bool = True,
 ) -> DataFrame:
     """pairs with id columns (``id_a``/``id_b``) and payload columns
     (title_X, title_tokens_X, text_tokens_X, embedding_X for X in
@@ -210,7 +221,7 @@ def score_pairs(
     if engine == "arrow":
         if cluster_batches:
             pairs = pairs.sortWithinPartitions(id_a)
-        feats = _all_features_udf()(
+        feats = _all_features_udf(shared_ids=memo_shared_ids)(
             F.col(id_a),
             F.col(id_b),
             F.col("title_a"),

@@ -199,13 +199,39 @@ def run_pipeline(
                     repeat_num=cfg.relational_repeats,
                     starts=payload.select(F.col("url").alias("pid")),
                 )
-                # semantic channel: pair cosine distance already computed
-                # by score_pairs (f_emb_dot)
-                sem = pairs.select(
-                    "url_a",
-                    "url_b",
-                    (F.lit(1.0) - F.col("f_emb_dot")).alias("sem_dist"),
-                ).dropDuplicates(["url_a", "url_b"])
+                # semantic channel: a TRUE cosine distance over the pair
+                # embeddings (reference blends cosine matrices,
+                # relational_features.py:144-173). f_emb_dot is a raw dot
+                # product — equal to cosine only for unit-norm vectors,
+                # and the in-pipeline w2v fallback produces UN-normalized
+                # mean-pooled vectors, so reusing it here would corrupt
+                # every distance on that path.
+                from whoiswho_spark.operators.ann import cosine_batch_udf
+
+                sem = (
+                    pair_keys.join(
+                        embeddings.select(
+                            F.col("url").alias("url_a"),
+                            F.col("embedding").alias("_ea"),
+                        ),
+                        "url_a",
+                    )
+                    .join(
+                        embeddings.select(
+                            F.col("url").alias("url_b"),
+                            F.col("embedding").alias("_eb"),
+                        ),
+                        "url_b",
+                    )
+                    .select(
+                        "url_a",
+                        "url_b",
+                        (
+                            F.lit(1.0)
+                            - cosine_batch_udf(F.col("_ea"), F.col("_eb"))
+                        ).alias("sem_dist"),
+                    )
+                )
                 blended = blend_pair_distances(rel, sem, cfg.text_weight)
                 block_pairs = pairs.select("block_key", "url_a", "url_b").join(
                     blended, ["url_a", "url_b"]

@@ -123,6 +123,9 @@ def assign_pages(
         pairs.join(a, "url_new").join(b, "url_prof"),
         id_a="url_new",
         id_b="url_prof",
+        # two DIFFERENT payload tables: an id in both namespaces must not
+        # share a memo entry (it could alias a page with its own profile)
+        memo_shared_ids=False,
     )
 
     per_cluster = (

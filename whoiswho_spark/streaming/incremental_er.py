@@ -66,8 +66,16 @@ def make_assigner(threshold: float = 0.5):
             "url": [], "block_key": [], "cluster_id": [],
             "matched_score": [], "is_new": [],
         }
-        for pdf in pdfs:
-            pdf = pdf.sort_values("url")
+        # materialize ALL Arrow chunks before sorting: a group larger
+        # than one Arrow batch arrives as several frames whose order is
+        # shuffle-dependent — sorting each chunk independently would
+        # break the documented processed-in-url-order determinism.
+        # Memory is bounded by the group (this stateful op already holds
+        # the group's cluster registry).
+        chunks = list(pdfs)
+        whole = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        if len(whole):
+            pdf = whole.sort_values("url")
             for url, toks in zip(pdf["url"], pdf["toks"]):
                 ts = set(toks) if toks is not None else set()
                 best_i, best_s = -1, -1.0
