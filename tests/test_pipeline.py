@@ -212,11 +212,12 @@ def test_relational_channel_f1_gate(spark, corpus, workdir):
 
 
 def test_w2v_plus_relational_channel_f1_gate(spark, corpus, workdir):
-    """REGRESSION: relational channel over IN-PIPELINE w2v embeddings.
-    Mean-pooled Word2Vec vectors are NOT unit-norm, so the semantic
-    channel must compute a true cosine distance — reusing the raw
-    f_emb_dot as (1 - dot) silently corrupted every distance on this
-    path (all-noise or all-merge DBSCAN input)."""
+    """End-to-end gate for the w2v+relational combination (previously
+    untested). Mean-pooled Word2Vec vectors are NOT unit-norm, so the
+    semantic channel computes a true cosine distance; the old
+    (1 - f_emb_dot) form merely degraded to an uninformative sem≈1 on
+    THIS corpus (small w2v norms) but inverts distances outright for
+    norms > 1 — the cosine form is range-correct for any norm."""
     wd = f"{workdir}/w2v_rel"
     pages, _, labels = _split(corpus)
     cfg = ERConfig(
