@@ -80,3 +80,46 @@ def test_incremental_er_resumes_from_checkpoint(spark, tmp_path):
     # RESTORED state store: A9 attaches to the run-1 cluster
     assert set(rows) == {"A1", "A9"}
     assert not rows["A9"]["is_new"] and rows["A9"]["cluster_id"] == "A1"
+
+
+def test_incremental_er_multi_chunk_group_deterministic(spark, tmp_path):
+    """A group larger than one Arrow batch arrives as SEVERAL pandas
+    chunks whose order is shuffle-dependent; the assign fn must concat
+    before the url sort (per-chunk sorting founded clusters at whichever
+    url led its chunk). Gate: the founder of the big cluster is the
+    globally-min url, and two fresh runs agree exactly."""
+    from whoiswho_spark.streaming.incremental_er import run_incremental_er_once
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+    try:
+        # DESCENDING url order in ONE file/micro-batch: with per-chunk
+        # sorting the first Arrow chunk holds only high urls, so the
+        # cluster founder would be u0199-ish instead of the global min
+        rows = [
+            (f"u{i:04d}", "big", ["tok", "shared", f"x{i % 3}"])
+            for i in range(199, -1, -1)
+        ]
+        results = []
+        for run in ("r1", "r2"):
+            src = str(tmp_path / f"src_{run}")
+            spark.createDataFrame(
+                rows, "url string, block_key string, toks array<string>"
+            ).coalesce(1).write.mode("append").parquet(src)
+            out = run_incremental_er_once(
+                spark, src, str(tmp_path / f"ck_{run}"),
+                name=f"inc_er_chunks_{run}", threshold=0.2,
+            )
+            results.append(sorted((r["url"], r["cluster_id"]) for r in out.collect()))
+        assert results[0] == results[1]
+        founders = {cid for _, cid in results[0]}
+        # u0000 founds the first cluster (url order), and every founder
+        # must be the minimal url of its members
+        assert "u0000" in founders
+        members: dict = {}
+        for u, c in results[0]:
+            members.setdefault(c, []).append(u)
+        for c, ms in members.items():
+            assert c == min(ms), (c, min(ms))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
