@@ -54,11 +54,12 @@ def test_normalized_host(spark):
             ("https://www.Example.com/x/y",),
             ("http://sub.site.org:8080/p?q=1",),
             ("https://plain.net",),
+            ("HTTP://WWW.Upper.COM/page",),  # RFC 3986: schemes case-insensitive
         ],
         "url string",
     )
     got = [r["h"] for r in df.select(normalized_host_col(F.col("url")).alias("h")).collect()]
-    assert got == ["example.com", "sub.site.org", "plain.net"]
+    assert got == ["example.com", "sub.site.org", "plain.net", "upper.com"]
 
 
 def test_lsh_blocks_same_title_same_blocks(spark):

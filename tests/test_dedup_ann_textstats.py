@@ -213,6 +213,19 @@ def test_blas_plans_match_join_plans(spark):
     assert t1 == t2
 
 
+def test_top1_assign_nan_never_wins(spark):
+    """Spark orders NaN above every number and NaN >= t is true — a NaN
+    score must neither win the argmax nor pass the NIL gate."""
+    scored = spark.createDataFrame(
+        [("i1", "bad", float("nan")), ("i1", "good", 0.9),
+         ("i2", "only", float("nan"))],
+        "item string, cand string, score double",
+    )
+    got = {r["item"]: r["cand"]
+           for r in top1_assign(scored, "item", "cand", threshold=0.5).collect()}
+    assert got == {"i1": "good"}  # i2 drops out as NIL
+
+
 def test_top1_assign_threshold_and_ties(spark):
     scored = spark.createDataFrame(
         [("i1", "c1", 0.9), ("i1", "c2", 0.9), ("i2", "c3", 0.4)],

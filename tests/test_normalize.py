@@ -132,3 +132,15 @@ def test_spark_extract_byte_identical_to_stored_text(spark, corpus):
     joined = pages.select("url", "text").join(derived, "url")
     mismatches = joined.where(F.col("text") != F.col("derived")).count()
     assert mismatches == 0
+
+
+def test_year_sanitize_string_junk_ansi_safe(spark):
+    """data_process.py:330-337: '' and junk strings map to 0 — under
+    Spark 4 ANSI mode (ON here) this requires try_cast, not cast."""
+    from whoiswho_spark.functions.normalize import year_sanitize_col
+
+    df = spark.createDataFrame(
+        [("",), ("n/a",), ("2010",), ("1200",), (None,)], "year string"
+    )
+    got = [r["y"] for r in df.select(year_sanitize_col(F.col("year")).alias("y")).collect()]
+    assert got == [0, 0, 2010, 0, 0]

@@ -106,8 +106,11 @@ def corpus_tokens_col(norm_text: Column) -> Column:
 
 
 def year_sanitize_col(year: Column) -> Column:
-    """'' → 0; outside [1500, 2023] → 0 (data_process.py:330-337)."""
-    y = year.cast("int")
+    """'' → 0; outside [1500, 2023] → 0 (data_process.py:330-337).
+    try_cast, not cast: under Spark 4 ANSI mode (ON in this repo) a
+    plain cast on '' / 'n/a' — the exact junk the reference sanitizes —
+    would throw CAST_INVALID_INPUT instead of mapping to 0."""
+    y = year.try_cast("int")
     return F.when(y.isNull() | (y < 1500) | (y > 2023), F.lit(0)).otherwise(y)
 
 

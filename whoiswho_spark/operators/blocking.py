@@ -43,8 +43,12 @@ def hash60(col: Column, salt: str | int) -> Column:
 
 
 def normalized_host_col(url: Column) -> Column:
-    """Host from url, lowercased, leading 'www.' stripped."""
-    host = F.lower(F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1))
+    """Host from url, lowercased, leading 'www.' stripped. The url is
+    lowercased BEFORE the scheme regex: RFC 3986 schemes are
+    case-insensitive ('HTTP://…' is legal crawl data) and extracting
+    from the raw string would return '' for them — collapsing every
+    uppercase-scheme url into one shared empty-host block."""
+    host = F.regexp_extract(F.lower(url), r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
     return F.regexp_replace(host, r"^www\.", "")
 
 
@@ -80,6 +84,11 @@ def lsh_block_keys(
     signatures ⇒ same block. Multiple bands trade recall vs block size;
     downstream pair-dedup (url_a,url_b distinct) removes multi-band hits.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by bands={bands}: "
+            "the trailing hashes would be computed and silently discarded"
+        )
     rows_per_band = num_hashes // bands
     # tokenize + dedupe ONCE in a prior projection so the per-hash
     # columns share the array instead of re-running the split (see
@@ -106,8 +115,12 @@ def lsh_block_keys(
 def cap_block_size(blocks: DataFrame, cap: int, order_col: str = "url") -> DataFrame:
     """Deterministic per-block cap — the scale guard against boilerplate
     mega-blocks (reference analog: maxPapers caps). Keeps the ``cap``
-    lowest-hash members so the choice is stable across runs/engines."""
-    w = Window.partitionBy("block_key").orderBy(hash60(F.col(order_col), "cap"))
+    lowest-hash members so the choice is stable across runs/engines
+    (secondary key on the raw column breaks 60-bit hash-collision ties —
+    same discipline as rnd.deterministic_sample)."""
+    w = Window.partitionBy("block_key").orderBy(
+        hash60(F.col(order_col), "cap"), F.asc(order_col)
+    )
     return (
         blocks.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= cap)

@@ -78,6 +78,12 @@ def salted_candidate_pairs(
 
 
 def _attach_payload(pairs: DataFrame, payload: DataFrame) -> DataFrame:
+    """CONTRACT: ``payload`` must contain exactly one row per blocked
+    url (the pipeline derives blocks FROM the payload table, so this
+    holds there by construction). The joins are inner: a pair whose url
+    is missing from payload is silently dropped, and duplicate payload
+    urls would duplicate pairs — callers filtering the payload between
+    blocking and scoring must re-block instead."""
     cols = [c for c in payload.columns if c != "url"]
     pa = payload.select(
         F.col("url").alias("url_a"), *[F.col(c).alias(f"{c}_a") for c in cols]

@@ -29,10 +29,14 @@ def top1_assign(
 ) -> DataFrame:
     """argmax candidate per item, kept only if score ≥ threshold (NIL
     otherwise — the row simply drops out, AutoTrainRND.py:52-71).
-    Tie-break by candidate id for determinism."""
+    Tie-break by candidate id for determinism. NaN scores are dropped
+    FIRST: Spark orders NaN above every number and evaluates
+    NaN >= threshold as true, so a single 0/0-style feature would
+    otherwise win the argmax and sail past the NIL gate."""
     w = Window.partitionBy(item_col).orderBy(F.desc(score_col), F.asc(cand_col))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
+        scored.where(~F.isnan(F.col(score_col).cast("double")))
+        .withColumn("_rn", F.row_number().over(w))
         .where((F.col("_rn") == 1) & (F.col(score_col) >= threshold))
         .drop("_rn")
     )

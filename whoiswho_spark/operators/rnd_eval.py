@@ -50,6 +50,10 @@ def weighted_f1(
             ).alias("recall"),
         )
     )
+    # two actions read per_author (the scalar `total` feeds the second
+    # pass's reference-exact rounding, so they can't fold into one agg);
+    # materialize once instead of re-running the 3-join lineage twice
+    per_author = per_author.localCheckpoint()
     total = per_author.agg(F.sum("n_gt").alias("t")).collect()[0]["t"] or 0
     if total == 0:
         return 0.0

@@ -84,7 +84,26 @@ def stage(
     ``compute() -> DataFrame``, writing, and recording lineage."""
     path = f"{workdir}/{name}"
     if resume and _success_exists(spark, path):
-        return spark.read.parquet(path)
+        persisted = spark.read.parquet(path)
+        # Crash window: the checkpoint committer wrote _SUCCESS but the
+        # process died before the lineage append. A resumed run would
+        # otherwise return here and the (stage) metrics rows would be
+        # missing FOREVER — backfill them from the checkpoint (wall_ms=0
+        # marks a backfilled row; partition counts re-derived from the
+        # stored table are the same lineage the original append records).
+        try:
+            have = (
+                read_metrics(spark, workdir)
+                .where(F.col("stage") == name)
+                .limit(1)
+                .count()
+                > 0
+            )
+        except Exception:
+            have = False
+        if not have:
+            append_metrics(spark, workdir, run_id, name, persisted, wall_ms=0)
+        return persisted
     t0 = time.monotonic()
     out = compute()
     out.write.mode("overwrite").parquet(path)
