@@ -600,9 +600,24 @@ _SYNTH_NAMES = [
 ]
 
 
-def _synth_name_col(key_col, offset: int = 0):
-    idx = F.pmod(key_col + F.lit(offset), F.lit(len(_SYNTH_NAMES))).cast("int")
-    return F.element_at(F.array(*[F.lit(n) for n in _SYNTH_NAMES]), idx + F.lit(1))
+def _synth_name_col(key_col, offset: int = 0, names: list[str] | None = None):
+    names = names if names is not None else _SYNTH_NAMES
+    idx = F.pmod(key_col + F.lit(offset), F.lit(len(names))).cast("int")
+    return F.element_at(F.array(*[F.lit(n) for n in names]), idx + F.lit(1))
+
+
+# ASCII-only battery for the is_chinese_name census (the DuckDB oracle
+# recomputes the predicate in SQL, which has no NFKD fold): romanized CN
+# in pinyin/Cantonese/Korean/Vietnamese forms, Western names, ban-list
+# edge cases, mononyms — every branch of is_chinese.py:70-97.
+_SYNTH_CN_NAMES = [
+    "Ernest Jordan", "KAIPING HAN", "Xiaotao Wu", "Yufeng Xin", "Na Li",
+    "jing zhang", "wei wang li", "li hua", "ouyang feng", "sima qian",
+    "wang li zhang ming", "kim jong il", "park chan wook", "wong kar wai",
+    "nguyen van a", "kim basinger", "juan carlos", "tim duncan",
+    "van der sar", "de long", "zhang", "smith", "E.c.c. Tsang",
+    "Jae-Hoon Kim",
+]
 
 
 def _q_name_normalize_census(spark, sf):
@@ -648,6 +663,25 @@ def _q_name_match_pairs(spark, sf):
         "name_b",
         names_match_udf(ca, cb).alias("matched_strict"),
         names_match_loose_udf(ca, cb).alias("matched_loose"),
+    )
+
+
+def _q_is_chinese_census(spark, sf):
+    """is_chinese_name (tool/is_chinese.py:70-97, const.py romanization
+    tables) over a deterministic ASCII name battery. The oracle is fully
+    INDEPENDENT: DuckDB recomputes the predicate with list_filter/
+    list_contains over the same contract tables embedded as literals."""
+    from whoiswho_spark.functions.is_chinese import is_chinese_name_udf
+
+    raw = _synth_name_col(F.col("c_custkey"), names=_SYNTH_CN_NAMES)
+    return (
+        _t(spark, sf, "customer")
+        .select("c_custkey", raw.alias("raw_name"))
+        .select(
+            "c_custkey",
+            "raw_name",
+            is_chinese_name_udf(F.col("raw_name")).alias("is_cn"),
+        )
     )
 
 
@@ -783,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "name_normalize_census": _q_name_normalize_census,
         "name_match_pairs": _q_name_match_pairs,
+        "is_chinese_census": _q_is_chinese_census,
         "bond_threshold_edges": _q_bond_threshold_edges,
         "incremental_er": _q_incremental_er,
         "gbdt_scores": _q_gbdt_scores,
@@ -816,6 +851,53 @@ def _dd_case(idx_expr: str, values: list[str]) -> str:
         f"when {i} then {_dd_str(v)}" for i, v in enumerate(values)
     )
     return f"(case {idx_expr} {whens} end)"
+
+
+def _dd_is_chinese_sql() -> str:
+    """DuckDB twin of is_chinese_name (tool/is_chinese.py:70-97): an
+    INDEPENDENT re-computation — clean to alpha tokens, keep len>1, then
+    the surname/syllable/ban counting rules with the contract tables
+    (whoiswho_spark/data/cn_romanizations.json) embedded as list
+    literals. ASCII-only battery, so the SQL needs no NFKD fold; the two
+    ban lists are identical in the reference (const.py:1-55), asserted
+    at mint time."""
+    from whoiswho_spark.functions.is_chinese import (
+        BAN_LIST_NAME,
+        CHINESE_NAME,
+        CHINESE_TOKEN,
+    )
+
+    cn_name = "[" + ", ".join(_dd_str(t) for t in sorted(CHINESE_NAME)) + "]"
+    cn_tok = "[" + ", ".join(_dd_str(t) for t in sorted(CHINESE_TOKEN)) + "]"
+    ban = "[" + ", ".join(_dd_str(t) for t in sorted(BAN_LIST_NAME)) + "]"
+    names = "[" + ", ".join(_dd_str(n) for n in _SYNTH_CN_NAMES) + "]"
+    n = len(_SYNTH_CN_NAMES)
+    return f"""
+        with k as (select c_custkey, cast(c_custkey % {n} as int) as i from customer),
+        nm as (select c_custkey, list_extract({names}, i + 1) as raw_name from k),
+        t as (select c_custkey, raw_name,
+                list_filter(
+                    string_split(trim(regexp_replace(lower(raw_name), '[^a-z]+', ' ', 'g')), ' '),
+                    x -> length(x) > 1) as ft
+              from nm),
+        m as (select c_custkey, raw_name, len(ft) as fs,
+                len(list_filter(ft, x -> list_contains({cn_name}, x))) as cname,
+                len(list_filter(ft, x -> list_contains({cn_tok}, x))) as ctok_total,
+                len(list_filter(ft, x -> list_contains({cn_tok}, x)
+                                     and not list_contains({cn_name}, x))) as ctok_ex,
+                len(list_filter(ft, x -> list_contains({ban}, x))) as nban
+              from t)
+        select c_custkey, raw_name,
+               case when fs >= 3 then
+                        (case when cname >= 1 or ctok_total >= 1
+                              then cname + nban else cname end)
+                      + (case when cname >= 1 or ctok_total >= 1
+                              then ctok_ex + nban else ctok_ex end)
+                      >= fs - 1
+                    when fs >= 1 then cname >= 1 or (ctok_total >= 1 and nban >= 1)
+                    else false end as is_cn
+        from m
+    """
 
 
 def _dd_simhash_sql() -> str:
@@ -1255,9 +1337,10 @@ def oracle_sql() -> dict[str, str]:
                    list_extract({_dd_names}, i + 1) as name_a,
                    list_extract({_dd_names}, ((i + 3) % 13) + 1) as name_b,
                    (i = 7) as matched_strict,
-                   (i = 4 or i = 7) as matched_loose
+                   (i = 7) as matched_loose
             from k
         """,
+        "is_chinese_census": _dd_is_chinese_sql(),
         "bond_threshold_edges": f"""
             with e as (
                 select o_custkey as src, o_orderkey as dst,

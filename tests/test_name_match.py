@@ -2,14 +2,20 @@
 
 Every expected value below was MINTED BY RUNNING THE REFERENCE CODE
 (tool/token.py tokenize_name, feature_process.py clean_name,
-tool/util.py match_name_one..seven with is_chinese_name stubbed False —
-the non-Chinese branch every Latin name takes) with unidecode replaced
-by the same NFKD fold this repo uses (parity note in
-whoiswho_spark/functions/name_match.py).
+tool/util.py match_name_one..seven) with unidecode replaced by the same
+NFKD fold this repo uses (parity note in
+whoiswho_spark/functions/name_match.py). Two predicate regimes are
+pinned: MATCHER_GOLDENS (+ the matched_coauthors/find_main fixtures)
+carry the REAL ``is_chinese_name`` — the engine default, reference
+behavior — while MATCHER_GOLDENS_STUB and the 400-pair sweep pin
+``_never_chinese`` to exercise the 非中文/non-Chinese branches in
+isolation. Re-mint with tools/mint_is_chinese_goldens.py (battery/
+predicate goldens) or the harness described there.
 """
 
 from whoiswho_spark.functions.name_match import (
     MATCHERS,
+    _never_chinese,
     clean_name,
     find_main,
     matched_coauthors,
@@ -43,8 +49,8 @@ CLEAN_GOLDENS = {
     "": "",
 }
 
-# (a, b) → (per-matcher strict 7-vector, per-matcher loose 7-vector)
-MATCHER_GOLDENS = {
+# (a, b) → (strict 7-vector, loose 7-vector), is_chinese pinned False
+MATCHER_GOLDENS_STUB = {
     ("jing zhang", "jing zhang"): ([1, 1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 0, 0, 0]),
     ("j zhang", "jing zhang"): ([0, 1, 1, 1, 0, 0, 0], [0, 1, 1, 1, 0, 0, 0]),
     ("j. x. zhang", "jing xuan zhang"): ([0, 0, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0, 0]),
@@ -73,6 +79,39 @@ MATCHER_GOLDENS = {
     ("wei li", "wei liu"): ([0, 0, 0, 1, 0, 0, 0], [0, 1, 0, 1, 0, 0, 0]),
 }
 
+# Same pairs under the engine DEFAULT (real is_chinese_name): romanized-
+# CN pairs route through the stricter CJK branches — e.g. matcher two
+# refuses initial-expansion for CN-CN pairs with equal token counts, and
+# ("wei li", "wei liu") stops loose-matching entirely.
+MATCHER_GOLDENS = {
+    ("jing zhang", "jing zhang"): ([1, 0, 0, 0, 0, 0, 0], [1, 0, 0, 0, 0, 0, 0]),
+    ("j zhang", "jing zhang"): ([0, 1, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0, 0]),
+    ("j. x. zhang", "jing xuan zhang"): ([0, 0, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0, 0]),
+    ("jing zhang", "zhang jing"): ([1, 0, 0, 0, 0, 0, 0], [1, 0, 0, 0, 0, 0, 0]),
+    ("bill smith", "william smith"): ([0, 0, 0, 0, 0, 0, 0], [0, 0, 0, 0, 0, 0, 0]),
+    ("jing x zhang", "jing zhang"): ([1, 0, 0, 0, 0, 0, 0], [1, 1, 0, 0, 0, 0, 0]),
+    ("jingxuan zhang", "jing xuan zhang"): ([1, 0, 0, 0, 0, 0, 0], [1, 0, 0, 0, 0, 0, 0]),
+    ("wei wang li", "wei wang l"): ([0, 0, 0, 0, 1, 0, 0], [0, 1, 0, 0, 1, 0, 0]),
+    ("wei wang li", "wei wang lii"): ([0, 0, 0, 0, 1, 0, 0], [0, 0, 0, 0, 1, 0, 0]),
+    ("a b chen", "alpha beta chen"): ([0, 1, 1, 1, 0, 0, 0], [0, 0, 1, 1, 0, 0, 0]),
+    ("m cwiok", "marek cwiok"): ([0, 1, 1, 1, 0, 0, 0], [0, 1, 1, 1, 0, 0, 0]),
+    ("jon smith", "jonathan smith"): ([0, 0, 0, 1, 0, 0, 0], [0, 1, 0, 1, 0, 0, 0]),
+    ("jing zhang", "jing zhan"): ([0, 0, 0, 0, 0, 0, 0], [0, 0, 0, 0, 0, 0, 0]),
+    ("x y", "xavier young"): ([0, 1, 1, 1, 0, 0, 0], [0, 0, 1, 1, 0, 0, 0]),
+    ("li m hua", "li hua"): ([1, 0, 0, 0, 0, 0, 0], [1, 1, 0, 0, 0, 0, 0]),
+    ("li hua", "li m hua"): ([1, 0, 0, 0, 0, 0, 0], [1, 1, 0, 0, 0, 0, 0]),
+    ("robert de niro", "robert d niro"): ([0, 0, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0, 0]),
+    ("j k rowling", "joanne kathleen rowling"): (
+        [0, 1, 1, 1, 0, 0, 0],
+        [0, 1, 1, 1, 0, 0, 0],
+    ),
+    ("anna maria lopez", "anna maria lope"): (
+        [0, 0, 0, 0, 1, 0, 0],
+        [0, 1, 0, 0, 1, 0, 0],
+    ),
+    ("wei li", "wei liu"): ([0, 0, 0, 0, 0, 0, 0], [0, 0, 0, 0, 0, 0, 0]),
+}
+
 
 def test_tokenize_name_reference_goldens():
     for raw, want in TOKENIZE_GOLDENS.items():
@@ -85,6 +124,7 @@ def test_clean_name_reference_goldens():
 
 
 def test_matcher_battery_reference_goldens():
+    # engine default = real is_chinese_name (reference behavior)
     for (a, b), (strict, loose) in MATCHER_GOLDENS.items():
         got_strict = [int(f(a, b, False)) for f in MATCHERS]
         got_loose = [int(f(a, b, True)) for f in MATCHERS]
@@ -92,6 +132,12 @@ def test_matcher_battery_reference_goldens():
         assert got_loose == loose, (a, b, "loose", got_loose)
         assert names_match(a, b) == any(strict), (a, b)
         assert names_match(a, b, loose=True) == any(loose), (a, b)
+    # stub regime: the non-Chinese branches in isolation
+    for (a, b), (strict, loose) in MATCHER_GOLDENS_STUB.items():
+        got_strict = [int(f(a, b, False, _never_chinese)) for f in MATCHERS]
+        got_loose = [int(f(a, b, True, _never_chinese)) for f in MATCHERS]
+        assert got_strict == strict, (a, b, "strict-stub", got_strict)
+        assert got_loose == loose, (a, b, "loose-stub", got_loose)
 
 
 def test_matched_coauthors_loose_path():
@@ -102,7 +148,11 @@ def test_matched_coauthors_loose_path():
         ["J. Zhang", "Wei Liu", "Totally Different"],
         loose=True,
     )
-    assert got == {"j zhang", "wei liu"}
+    # reference-minted with the real predicate: 'wei liu' is rejected —
+    # both sides are detected Chinese and the CJK branch of matcher four
+    # refuses the li/liu prefix expansion (match_name.py truth via
+    # tools/mint_is_chinese_goldens.load_reference_tool harness).
+    assert got == {"j zhang"}
     assert matched_coauthors([], ["J. Zhang"]) == set()
 
 
@@ -112,6 +162,29 @@ def test_find_main_token_fallback():
     matched, leftovers = find_main("Bill Smith", ["william smith", "jane doe"])
     assert [m[0] for m in matched] == ["william smith"]
     assert leftovers == {"jane doe"}
+
+
+def test_dry_run_reference_goldens():
+    """tool/match_name.py:18-48 dryRun — cluster self-consistency;
+    expected values minted by running the reference dryRun (same stub
+    harness as the battery goldens)."""
+    from whoiswho_spark.functions.name_match import dry_run
+
+    goldens = [
+        ({"jing zhang", "j zhang", "zhang jing"}, True),
+        ({"jing zhang", "wei liu"}, False),
+        ({"william smith", "w smith", "bill smith"}, False),
+        ({"anna maria lopez", "a m lopez", "anna lopez"}, True),
+        ({"anna maria lopez", "a m lopez", "bob jones"}, False),
+        ({"x"}, True),
+        (set(), True),
+        ({"jing xuan zhang", "jing zhang", "j x zhang"}, True),
+        ({"jing xuan zhang", "li hua zhang"}, False),
+        ({"a b c", "alpha beta chen"}, True),
+        ({"robert de niro", "r de niro", "robert niro"}, True),
+    ]
+    for names, want in goldens:
+        assert dry_run(names) == want, names
 
 
 def test_names_match_udf_roundtrip(spark):
@@ -163,12 +236,13 @@ def test_coauthor_matcher_features_reference_path():
         [["J. Zhang", "Someone Else"], ["Wei Liu"]],
         uniq,
     )
-    # matched = {j zhang, wei liu}; paper mass = 3 + 13; candi mass =
-    # 1.5 + 20 + 13
-    assert out[0] == 14.5
-    assert abs(out[1] - round(14.5 / (16 + 1e-8), 6)) < 1e-12
-    assert out[2] == 14.5
-    assert abs(out[3] - round(14.5 / (34.5 + 1e-8), 6)) < 1e-12
+    # matched = {j zhang} under the real predicate ('wei liu' rejected by
+    # the CJK branch — reference-minted, see test_matched_coauthors_loose
+    # _path); paper mass = 3 + 13; candi mass = 1.5 + 20 + 13
+    assert out[0] == 1.5
+    assert abs(out[1] - round(1.5 / (16 + 1e-8), 6)) < 1e-12
+    assert out[2] == 1.5
+    assert abs(out[3] - round(1.5 / (34.5 + 1e-8), 6)) < 1e-12
 
     assert coauthor_matcher_features([], [["x"]], uniq) == [0.0] * 4
     assert coauthor_matcher_features(["a"], [], uniq) == [0.0] * 4
@@ -177,8 +251,10 @@ def test_coauthor_matcher_features_reference_path():
 def test_matcher_battery_randomized_reference_sweep():
     """400 randomized name pairs (initials, dotted forms, prefix
     fragments, drops, permutations) with per-matcher strict+loose
-    7-vectors MINTED FROM THE REFERENCE (tests/goldens_name_battery.json,
-    harness in the module docstring): every vector must match."""
+    7-vectors MINTED FROM THE REFERENCE with is_chinese stubbed False
+    (tests/goldens_name_battery.json, harness in the module docstring):
+    every vector must match. The real-predicate regime is swept by
+    tests/test_is_chinese.py over goldens_name_battery_cn.json."""
     import json
     import os
 
@@ -187,8 +263,8 @@ def test_matcher_battery_randomized_reference_sweep():
     assert len(cases) == 400
     mismatches = []
     for a, b, strict, loose in cases:
-        got_s = [int(f(a, b, False)) for f in MATCHERS]
-        got_l = [int(f(a, b, True)) for f in MATCHERS]
+        got_s = [int(f(a, b, False, _never_chinese)) for f in MATCHERS]
+        got_l = [int(f(a, b, True, _never_chinese)) for f in MATCHERS]
         if got_s != strict or got_l != loose:
             mismatches.append((a, b, got_s, strict, got_l, loose))
     assert not mismatches, mismatches[:5]

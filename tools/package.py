@@ -16,7 +16,8 @@ def main() -> str:
             if "__pycache__" in root:
                 continue
             for fn in files:
-                if fn.endswith(".py"):
+                # .json: contract data tables (whoiswho_spark/data/)
+                if fn.endswith((".py", ".json")):
                     p = os.path.join(root, fn)
                     z.write(p, os.path.relpath(p, REPO))
     print(out)

@@ -1,0 +1,155 @@
+"""The reference's romanized-Chinese-name detector (SURVEY.md §2.2 row
+'is_chinese_name + CN dicts').
+
+Semantics re-derived from
+/root/reference/whoiswho/character/name_match/tool/is_chinese.py:22-97;
+the romanization inventories (surname and syllable tables across
+pinyin / Wade-Giles / Cantonese / Korean / Vietnamese romanizations,
+plus the shared 45-entry ban list) are behavioral-contract data tables
+transcribed from tool/const.py:1-3310 into
+``whoiswho_spark/data/cn_romanizations.json`` — data-as-code, same
+footing as the stopword lists in ``constants.py``.
+
+Algorithm (is_chinese.py:70-97): clean the name, keep tokens longer
+than one char ("full" tokens), then
+
+- 1-2 full tokens: Chinese iff any token is a known surname
+  romanization, or (any token is a known syllable AND any token is on
+  the ban list — the ban list holds romanizations that double as
+  Western name fragments, so a second corroborating signal is required);
+- >=3 full tokens: count surname hits ``cname`` and syllable-only hits
+  ``ctoken`` (syllable hits that are also surnames count once, as
+  surnames); if there is at least one hit of either kind, ban-list hits
+  are added back (surname-side and token-side respectively); Chinese iff
+  ``cname + ctoken >= full_size - 1`` (all but one token romanized).
+
+Cleaning (is_chinese.py:22-43): split the raw string into its ASCII and
+non-ASCII character planes; three pinyin special-case full names map by
+table; a mostly-non-ASCII name (<3 ASCII chars, >1 non-ASCII) romanizes
+via pypinyin; a mixed name (>3 ASCII, >1 non-ASCII) keeps only the
+ASCII plane; then unidecode -> lowercase -> alpha-only fold. Parity
+notes: unidecode is absent here -> same NFKD fold as name_match.py;
+pypinyin is absent -> the pinyin branch is gated, and a name that needs
+it falls through with its raw characters (the NFKD fold then drops
+non-Latin scripts, so such names read as their ASCII remnant — the
+webtext retarget never exercises this branch; goldens are minted
+pinyin-free, see tools/mint_is_chinese_goldens.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import unicodedata
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+def _load_tables() -> dict:
+    """zipimport-safe (spark-submit --py-files ships the package as a
+    zip): importlib.resources first, plain path as fallback."""
+    try:
+        from importlib.resources import files
+
+        return json.loads(
+            files("whoiswho_spark.data")
+            .joinpath("cn_romanizations.json")
+            .read_text()
+        )
+    except Exception:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data",
+            "cn_romanizations.json",
+        )
+        with open(path) as f:
+            return json.load(f)
+
+
+_TABLES = _load_tables()
+
+BAN_LIST_NAME = frozenset(_TABLES["ban_list_name"])
+BAN_LIST_TOKEN = frozenset(_TABLES["ban_list_token"])
+# The dicts the reference builds at const.py:3303-3310: inventory minus
+# the ban list.
+CHINESE_NAME = frozenset(_TABLES["all_chinese_name"]) - BAN_LIST_NAME
+CHINESE_TOKEN = frozenset(_TABLES["all_chinese_token"]) - BAN_LIST_TOKEN
+
+# is_chinese.py:8 — CJK full names whose pypinyin output needed pinning.
+PINYIN_SPECIAL_CASE = {
+    "周晟": "zhou sheng",
+    "胡英": "hu ying",
+    "郭强": "guo qiang",
+}
+
+_NON_ALPHA = re.compile(r"[^a-z]+")
+
+
+def _ascii_fold(s: str) -> str:
+    d = unicodedata.normalize("NFKD", s)
+    return "".join(ch for ch in d if not unicodedata.combining(ch))
+
+
+def cleaning_name_cn(name: str) -> str:
+    """is_chinese.py:22-43 — the cleaner the predicate feeds on (distinct
+    from feature_process clean_name: this one splits ASCII/non-ASCII
+    planes first)."""
+    name = name or ""
+    en_name = " ".join("".join(c if ord(c) < 128 else " " for c in name).split())
+    cn_name = " ".join("".join(c if ord(c) > 128 else " " for c in name).split())
+    if cn_name in PINYIN_SPECIAL_CASE:
+        name = PINYIN_SPECIAL_CASE[cn_name]
+    elif len(en_name) < 3 and len(cn_name) > 1:
+        try:  # optional parity dependency (see module docstring)
+            import pypinyin  # type: ignore
+
+            name = " ".join(
+                "".join(seg) for seg in pypinyin.pinyin(cn_name, style=pypinyin.NORMAL)
+            )
+        except ImportError:
+            pass  # gated: fall through with the raw characters
+    elif len(en_name) > 3 and len(cn_name) > 1:
+        name = en_name
+    s = _ascii_fold(name).lower()
+    s = _NON_ALPHA.sub(" ", s)
+    return " ".join(s.split())
+
+
+@lru_cache(maxsize=1 << 17)
+def is_chinese_name(name: str) -> bool:
+    """is_chinese.py:70-97. Cached: the battery probes the same cleaned
+    names 14x per pair (2 sides x 7 matchers)."""
+    full = [t for t in cleaning_name_cn(name).split() if len(t) > 1]
+    full_size = len(full)
+    if full_size == 0:
+        return False
+
+    cname = sum(1 for t in full if t in CHINESE_NAME)
+    ctoken_total = sum(1 for t in full if t in CHINESE_TOKEN)
+
+    if full_size <= 2:
+        if cname >= 1:
+            return True
+        if ctoken_total >= 1 and any(t in BAN_LIST_NAME for t in full):
+            return True
+        return False
+
+    # full_size >= 3: syllable-only hits exclude surname hits
+    # (list_excluding at :88 removes every token also matched as a
+    # surname — membership-equivalent to "in token table, not in name
+    # table" since both match lists draw from the same full-token list).
+    ctoken = sum(1 for t in full if t in CHINESE_TOKEN and t not in CHINESE_NAME)
+    if cname >= 1 or ctoken_total >= 1:
+        cname += sum(1 for t in full if t in BAN_LIST_NAME)
+        ctoken += sum(1 for t in full if t in BAN_LIST_TOKEN)
+    return cname + ctoken >= full_size - 1
+
+
+@pandas_udf(BooleanType())
+def is_chinese_name_udf(names: pd.Series) -> pd.Series:
+    return pd.Series(
+        [is_chinese_name(n or "") for n in names], dtype=bool, index=names.index
+    )

@@ -16,10 +16,12 @@ Parity notes:
   agree on Latin diacritics (the reference's own ``__main__`` case
   'm ćwiok' → 'm cwiok' holds); they differ on non-Latin scripts, which
   the webtext retarget does not exercise.
-- ``is_chinese_name`` (tool/is_chinese.py:70-97) needs ~39 KB of CN
-  pinyin dictionaries (tool/const.py); it is injectable here and
-  defaults to "never Chinese", which selects the reference's 非中文
-  (non-Chinese) branches — the behavior every Latin-script name gets.
+- ``is_chinese_name`` (tool/is_chinese.py:70-97) is implemented to
+  reference parity in ``whoiswho_spark/functions/is_chinese.py`` (with
+  the const.py romanization tables as contract data) and is the DEFAULT
+  predicate for every matcher and the dispatch, as in the reference; it
+  stays injectable (``_never_chinese`` selects the 非中文/non-Chinese
+  branches, used by the stub-minted goldens).
 
 All functions are plain Python (unit-tested against reference-minted
 goldens) plus Arrow-batched pandas UDF wrappers for DataFrame use.
@@ -37,6 +39,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType, StringType
 
 from whoiswho_spark.constants import NAME_STOPWORDS, NICKNAME_DICT
+from whoiswho_spark.functions.is_chinese import is_chinese_name
 
 _NON_WORD_DOT = re.compile(r"[^\w.]")
 _MULTI_SPACE = re.compile(" +")
@@ -199,7 +202,7 @@ def _never_chinese(_: str) -> bool:
     return False
 
 
-def match_name_one(a: str, b: str, loose: bool = False, is_chinese=_never_chinese) -> bool:
+def match_name_one(a: str, b: str, loose: bool = False, is_chinese=is_chinese_name) -> bool:
     """util.py:141-166: equal full-part mass and one side's concatenated
     full words contain the other's words as substrings."""
     if same_name(a, b):
@@ -215,7 +218,7 @@ def match_name_one(a: str, b: str, loose: bool = False, is_chinese=_never_chines
     return False
 
 
-def match_name_two(a: str, b: str, loose: bool = False, is_chinese=_never_chinese) -> bool:
+def match_name_two(a: str, b: str, loose: bool = False, is_chinese=is_chinese_name) -> bool:
     """util.py:169-186: abbreviation match with CN guards; strict mode
     additionally requires identical first-char multisets."""
     a_cn, b_cn = is_chinese(a), is_chinese(b)
@@ -234,21 +237,21 @@ def match_name_two(a: str, b: str, loose: bool = False, is_chinese=_never_chines
     return is_abbr_of(a, b, loose=False) and get_first_chars(a) == get_first_chars(b)
 
 
-def match_name_three(a: str, b: str, loose: bool = False, is_chinese=_never_chinese) -> bool:
+def match_name_three(a: str, b: str, loose: bool = False, is_chinese=is_chinese_name) -> bool:
     """util.py:189-193 (non-Chinese only): strict abbreviation."""
     if is_chinese(a) and is_chinese(b):
         return False
     return is_abbr_of(a, b)
 
 
-def match_name_four(a: str, b: str, loose: bool = False, is_chinese=_never_chinese) -> bool:
+def match_name_four(a: str, b: str, loose: bool = False, is_chinese=is_chinese_name) -> bool:
     """util.py:197-201 (non-Chinese only): prefix-partial abbreviation."""
     if is_chinese(a) and is_chinese(b):
         return False
     return is_abbr_of(a, b, True)
 
 
-def match_name_five(a: str, b: str, loose: bool = False, is_chinese=_never_chinese) -> bool:
+def match_name_five(a: str, b: str, loose: bool = False, is_chinese=is_chinese_name) -> bool:
     """util.py:204-212: ≥3-word names equal except one trailing char on
     the last word."""
     if not a or not b:
@@ -261,7 +264,7 @@ def match_name_five(a: str, b: str, loose: bool = False, is_chinese=_never_chine
     return wa[-1] == wb[-1][:-1] or wb[-1] == wa[-1][:-1]
 
 
-def match_name_six(a: str, b: str, loose: bool = False, is_chinese=_never_chinese) -> bool:
+def match_name_six(a: str, b: str, loose: bool = False, is_chinese=is_chinese_name) -> bool:
     """util.py:216-229 (non-Chinese only): exactly one side has a middle
     initial — drop it, concatenate, and prefix-compare (the reference's
     operator-precedence quirk — the length-gap guard binds only to the
@@ -280,7 +283,7 @@ def match_name_six(a: str, b: str, loose: bool = False, is_chinese=_never_chines
     )
 
 
-def match_name_seven(a: str, b: str, loose: bool = False, is_chinese=_never_chinese) -> bool:
+def match_name_seven(a: str, b: str, loose: bool = False, is_chinese=is_chinese_name) -> bool:
     """util.py:233-252 (Chinese-pinyin only): ≥3 full words, shorter side's
     words all present in the longer's."""
     if not is_chinese(a) or not is_chinese(b):
@@ -311,7 +314,7 @@ def names_match(
     a: str,
     b: str,
     loose: bool = False,
-    is_chinese: Callable[[str], bool] = _never_chinese,
+    is_chinese: Callable[[str], bool] = is_chinese_name,
 ) -> bool:
     """First-match dispatch over the 7-matcher battery
     (tool/match_name.py:7-15 funcs list, applied in order as at :82-86).
@@ -347,6 +350,34 @@ def matched_coauthors(
             if names_match(p_l, _c(d), loose):
                 hit_raw.add(d)
     return {_c(d) for d in hit_raw}
+
+
+def dry_run(names: set[str] | list[str]) -> bool:
+    """tool/match_name.py:18-48 (``dryRun``): validate that a candidate
+    cluster of CLEANED names is self-consistent — the most token-complex
+    names must pairwise pass ``may_be_duplicates_partial`` (loose), and
+    every remaining name must partially match at least one of them."""
+    names = list(names)
+    if len(names) <= 1:
+        return True
+    max_len, complex_names = len(names[0].split()), set()
+    for n in names:
+        length = len(n.split())
+        if length == max_len:
+            complex_names.add(n)
+        elif length > max_len:
+            max_len = length
+            complex_names = {n}
+    cx = sorted(complex_names)
+    for i, a in enumerate(cx):
+        for b in cx[i + 1:]:
+            if not may_be_duplicates_partial(a, b, True):
+                return False
+    return all(
+        n in complex_names
+        or any(may_be_duplicates_partial(n, c, True) for c in complex_names)
+        for n in names
+    )
 
 
 def find_main(
