@@ -685,6 +685,45 @@ def _q_is_chinese_census(spark, sf):
     )
 
 
+def _q_incremental_dedup(spark, sf):
+    """Streaming incremental MinHash/LSH dedup (custom stateful
+    operator): documents drained as a file stream, each new doc paired
+    against the per-(band,bucket) membership held in group state. The
+    emitted pair SET is state-order-independent and equals the batch
+    bucket join, so — unlike incremental_er — this streaming query IS
+    oracle-checked (same DuckDB SQL family as minhash_dup_candidates,
+    with lexicographic id order to match the string-typed stream ids).
+    max_bucket_size is lifted at test scale so the set is exact; the cap
+    is the production state bound."""
+    import tempfile
+
+    from whoiswho_spark.streaming.incremental_dedup import incremental_dedup_stream
+
+    src_dir = tempfile.mkdtemp(prefix="inc_dd_src_")
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    ckpt = tempfile.mkdtemp(prefix="inc_dd_ckpt_")
+    name = "inc_dedup_contract"
+    q = (
+        incremental_dedup_stream(stream, max_bucket_size=1_000_000)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("id_a", "id_b").distinct()
+
+
 def _q_bond_threshold_edges(spark, sf):
     """BOND a/o/v threshold case matrix (bond/dataset/load_data.py:
     93-171) over a synthetic typed-edge table derived from orders; the
@@ -820,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "is_chinese_census": _q_is_chinese_census,
         "bond_threshold_edges": _q_bond_threshold_edges,
         "incremental_er": _q_incremental_er,
+        "incremental_dedup": _q_incremental_dedup,
         "gbdt_scores": _q_gbdt_scores,
     }
 
@@ -1065,6 +1105,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_dup_candidates": f"""
             with sig as (select doc_id, {minhash_sig} from documents),
+            bk as (
+                select doc_id, 0 as band,
+                       md5(cast(h0 as varchar) || '_' || cast(h1 as varchar)) as bucket
+                from sig
+                union all
+                select doc_id, 1 as band,
+                       md5(cast(h2 as varchar) || '_' || cast(h3 as varchar)) as bucket
+                from sig)
+            select distinct a.doc_id as id_a, b.doc_id as id_b
+            from bk a join bk b on a.band = b.band and a.bucket = b.bucket
+            where a.doc_id < b.doc_id
+        """,
+        "incremental_dedup": f"""
+            with sig as (select cast(doc_id as varchar) as doc_id, {minhash_sig} from documents),
             bk as (
                 select doc_id, 0 as band,
                        md5(cast(h0 as varchar) || '_' || cast(h1 as varchar)) as bucket

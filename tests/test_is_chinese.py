@@ -77,6 +77,29 @@ def test_cleaning_name_cn_planes():
     assert cleaning_name_cn("") == ""
 
 
+def test_cleaning_name_cn_pinyin_branch_with_stub(monkeypatch):
+    """The mostly-CJK branch (is_chinese.py:30-31: <3 ASCII chars, >1
+    non-ASCII) romanizes via pypinyin when importable — exercised here
+    with an injected stub since the real lib is absent; without it the
+    branch is gated and the NFKD fold drops the CJK plane."""
+    import sys
+    import types
+
+    from whoiswho_spark.functions.is_chinese import cleaning_name_cn
+
+    table = {"李": "li", "明": "ming"}
+    fake = types.ModuleType("pypinyin")
+    fake.NORMAL = 0
+    fake.pinyin = lambda word, style=None: [[table[c]] for c in word]
+    monkeypatch.setitem(sys.modules, "pypinyin", fake)
+    assert cleaning_name_cn("李明") == "li ming"
+    monkeypatch.delitem(sys.modules, "pypinyin")
+    # gated: raw chars fall through, alpha fold drops the CJK plane
+    assert cleaning_name_cn("李明") == ""
+    # the pinned special-case table bypasses pypinyin entirely
+    assert cleaning_name_cn("周晟") == "zhou sheng"
+
+
 def test_predicate_edges():
     # mononym surname romanization is enough at full_size 1
     assert is_chinese_name("zhang")

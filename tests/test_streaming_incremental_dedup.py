@@ -1,0 +1,160 @@
+"""Stateful streaming incremental MinHash/LSH dedup: bucket membership
+as group state carried across micro-batches; streamed candidate-pair set
+must equal the batch minhash_dup_pairs set on the same corpus."""
+
+import time
+
+
+def _docs(i, words):
+    return (f"d{i:03d}", " ".join(words))
+
+
+def test_incremental_dedup_matches_batch_pairs(spark, tmp_path):
+    """The streaming matcher over two micro-batches emits EXACTLY the
+    batch operator's candidate pairs (same tokenize/signature/band
+    chain), including cross-batch pairs that only exist because bucket
+    membership persisted."""
+    from whoiswho_spark.operators.dedup import minhash_dup_pairs
+    from whoiswho_spark.streaming.incremental_dedup import (
+        run_incremental_dedup_once,
+    )
+
+    src = str(tmp_path / "docs_stream")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows1 = [
+        _docs(0, ["the", "quick", "brown", "fox", "jumps"]),
+        _docs(1, ["the", "quick", "brown", "fox", "jumps"]),  # exact dup of d000
+        _docs(2, ["completely", "unrelated", "text", "body"]),
+        _docs(3, ["lorem", "ipsum", "dolor", "sit", "amet"]),
+    ]
+    rows2 = [
+        _docs(4, ["the", "quick", "brown", "fox", "jumps"]),  # dup across batches
+        _docs(5, ["lorem", "ipsum", "dolor", "sit", "amet"]),
+        _docs(6, ["nothing", "like", "anything", "else"]),
+    ]
+    schema = "doc_id string, text string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    streamed = run_incremental_dedup_once(spark, src, ckpt, name="inc_dd_t1")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in streamed.dropDuplicates(["id_a", "id_b"]).collect()
+    }
+
+    batch = minhash_dup_pairs(
+        spark.createDataFrame(rows1 + rows2, schema), n_salts=2, salt_min_bucket=2
+    )
+    want = {(r["id_a"], r["id_b"]) for r in batch.collect()}
+    assert got == want and ("d000", "d004") in got  # cross-batch pair present
+
+    # exact duplicates agree on every hash → est_jaccard 1.0
+    ej = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in streamed.dropDuplicates(["id_a", "id_b"]).collect()
+    }
+    assert ej[("d000", "d001")] == 1.0 and ej[("d003", "d005")] == 1.0
+
+
+def test_incremental_dedup_randomized_batch_parity(spark, tmp_path):
+    """Seeded random corpus from a tiny vocabulary (high bucket-collision
+    probability), split across three micro-batch files in shuffled
+    order: the streamed candidate-pair set must equal the batch operator
+    exactly — no pair invented, none lost across batch boundaries."""
+    import random
+
+    from whoiswho_spark.operators.dedup import minhash_dup_pairs
+    from whoiswho_spark.streaming.incremental_dedup import (
+        run_incremental_dedup_once,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (f"r{i:03d}", " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 6))))
+        for i in range(45)
+    ]
+    rng.shuffle(rows)
+    src = str(tmp_path / "docs_rand")
+    schema = "doc_id string, text string"
+    for chunk in (rows[:15], rows[15:30], rows[30:]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    streamed = run_incremental_dedup_once(
+        spark, src, str(tmp_path / "ckpt_rand"), name="inc_dd_rand"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in streamed.dropDuplicates(["id_a", "id_b"]).collect()
+    }
+    batch = minhash_dup_pairs(
+        spark.createDataFrame(rows, schema), n_salts=2, salt_min_bucket=4
+    )
+    want = {(r["id_a"], r["id_b"]) for r in batch.collect()}
+    assert got == want and len(want) > 50  # collisions actually occurred
+
+
+def test_incremental_dedup_resumes_from_checkpoint(spark, tmp_path):
+    """A second availableNow run over the same checkpoint processes only
+    the new file and still pairs against members ingested in run 1 (the
+    bucket membership survives the restart via the state store)."""
+    from whoiswho_spark.streaming.incremental_dedup import (
+        run_incremental_dedup_once,
+    )
+
+    src = str(tmp_path / "docs_stream2")
+    ckpt = str(tmp_path / "ckpt2")
+    out = str(tmp_path / "pairs_out")
+    schema = "doc_id string, text string"
+
+    spark.createDataFrame(
+        [_docs(0, ["alpha", "beta", "gamma", "delta"])], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    first = run_incremental_dedup_once(spark, src, ckpt, output_dir=out)
+    assert first.count() == 0  # nothing to pair with yet
+
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [_docs(9, ["alpha", "beta", "gamma", "delta"])], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    second = run_incremental_dedup_once(spark, src, ckpt, output_dir=out)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in second.dropDuplicates(["id_a", "id_b"]).collect()
+    }
+    assert pairs == {("d000", "d009")}
+
+
+def test_incremental_dedup_bucket_cap_bounds_state(spark, tmp_path):
+    """Beyond max_bucket_size a bucket stops accumulating members but
+    still reports new-vs-retained pairs: with cap=2 and four identical
+    docs, later docs pair with the two retained members only."""
+    from whoiswho_spark.streaming.incremental_dedup import (
+        run_incremental_dedup_once,
+    )
+
+    src = str(tmp_path / "docs_stream3")
+    schema = "doc_id string, text string"
+    same = ["same", "text", "every", "time"]
+    spark.createDataFrame(
+        [_docs(i, same) for i in range(4)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    streamed = run_incremental_dedup_once(
+        spark, src, str(tmp_path / "ckpt3"), name="inc_dd_t3", max_bucket_size=2
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in streamed.dropDuplicates(["id_a", "id_b"]).collect()
+    }
+    # d002/d003 each pair with retained d000,d001; the (d002,d003) pair
+    # is the documented under-report for over-cap boilerplate buckets
+    assert pairs == {
+        ("d000", "d001"), ("d000", "d002"), ("d001", "d002"),
+        ("d000", "d003"), ("d001", "d003"),
+    }

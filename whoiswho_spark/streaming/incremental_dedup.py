@@ -1,0 +1,209 @@
+"""Streaming incremental MinHash/LSH deduplication (SURVEY.md §2.11
+extension; batch twin: operators/dedup.py minhash_dup_pairs).
+
+The batch dedup family recomputes bucket joins over the full corpus; at
+ingest time a 100 TB pipeline wants the incremental form — every newly
+crawled document immediately reports which ALREADY-INGESTED documents it
+collides with, without touching the historical corpus. This module holds
+the per-LSH-bucket membership as OPERATOR STATE
+(``applyInPandasWithState`` keyed by (band, bucket)):
+
+- the signature/banding chain is the SAME Catalyst expression chain the
+  batch operator uses (dedup._distinct_tokens_first +
+  blocking.minhash_signature_cols + the md5 band buckets), so a document
+  lands in byte-identical buckets in both engines and the streamed
+  candidate-pair set equals the batch set on the same corpus;
+- state per key is the bucket's member list (ids + signatures) —
+  bounded by ``max_bucket_size``: beyond the cap a bucket stops
+  ACCUMULATING members but still reports new-vs-retained pairs (the
+  batch path bounds the same mega-buckets via size-conditional salting;
+  a capped streaming bucket under-reports only pairs BOTH of whose
+  members arrived after the cap, and boilerplate mega-buckets are
+  precisely the ones whose pairs carry no dedup signal);
+- within a micro-batch rows are processed in id order (Arrow chunks
+  concatenated first) → deterministic output for a given file split;
+- each emitted pair carries the signature-agreement estimate of Jaccard
+  (matching hash fraction) so a downstream verifier can threshold
+  without re-reading either document.
+
+Pairs are emitted once per shared (band, bucket); cross-band duplicates
+are left to the consumer (``.dropDuplicates(["id_a","id_b"])``) because
+different bands live in different state partitions — the same reason the
+batch plan dedups AFTER its bucket join.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from whoiswho_spark.operators.blocking import minhash_signature_cols
+from whoiswho_spark.operators.dedup import _distinct_tokens_first
+
+OUTPUT_SCHEMA = (
+    "id_a string, id_b string, band int, bucket string, est_jaccard double"
+)
+STATE_SCHEMA = "ids array<string>, sigs array<string>"
+
+
+def minhash_stream_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, band, bucket, sig) for a (streaming or batch) documents
+    frame — the dedup.minhash_band_buckets chain, carrying the full
+    signature string for the est_jaccard column. Pure Catalyst, so it
+    runs unchanged on a readStream source."""
+    base = _distinct_tokens_first(docs, text_col, id_col)
+    sig = minhash_signature_cols(F.col("_toks"), num_hashes)
+    sig_str = F.concat_ws("_", *[s.cast("string") for s in sig])
+    bands = []
+    for b in range(num_hashes // rows_per_band):
+        parts = sig[b * rows_per_band : (b + 1) * rows_per_band]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *[p.cast("string") for p in parts])).alias(
+                    "bucket"
+                ),
+            )
+        )
+    return base.select(
+        F.col(id_col).alias("doc_id"),
+        sig_str.alias("sig"),
+        F.explode(F.array(*bands)).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "sig")
+
+
+def _est_jaccard(sig_a: str, sig_b: str) -> float:
+    pa, pb = sig_a.split("_"), sig_b.split("_")
+    if not pa or len(pa) != len(pb):
+        return 0.0
+    return sum(1 for x, y in zip(pa, pb) if x == y) / len(pa)
+
+
+def make_bucket_matcher(max_bucket_size: int = 256):
+    """Per-(band,bucket) stateful matcher: every new doc pairs with the
+    bucket's retained members, then joins the membership (up to the
+    cap)."""
+
+    def match(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        band, bucket = key[0], key[1]
+        if state.exists:
+            ids, sigs = state.get
+            ids, sigs = list(ids), list(sigs)
+        else:
+            ids, sigs = [], []
+        known = set(ids)
+
+        out = {"id_a": [], "id_b": [], "band": [], "bucket": [], "est_jaccard": []}
+        chunks = list(pdfs)
+        whole = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        if len(whole):
+            pdf = whole.sort_values("doc_id")
+            for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+                if doc_id in known:  # replayed input file: idempotent
+                    continue
+                for old_id, old_sig in zip(ids, sigs):
+                    a, b = sorted((old_id, doc_id))
+                    out["id_a"].append(a)
+                    out["id_b"].append(b)
+                    out["band"].append(band)
+                    out["bucket"].append(bucket)
+                    out["est_jaccard"].append(_est_jaccard(sig, old_sig))
+                if len(ids) < max_bucket_size:
+                    ids.append(doc_id)
+                    sigs.append(sig)
+                known.add(doc_id)
+        state.update((ids, sigs))
+        yield pd.DataFrame(out)
+
+    return match
+
+
+def incremental_dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """documents stream (id, text) → (id_a, id_b, band, bucket,
+    est_jaccard) append stream of candidate duplicate pairs; bucket
+    membership persists across micro-batches (and restarts, via the
+    checkpoint dir). The groupBy shuffle is the same (band, bucket)
+    shuffle the batch bucket-join pays."""
+    bucketed = minhash_stream_buckets(docs, text_col, id_col, num_hashes, rows_per_band)
+    return bucketed.groupBy("band", "bucket").applyInPandasWithState(
+        make_bucket_matcher(max_bucket_size),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_incremental_dedup_once(
+    spark,
+    source_dir: str,
+    checkpoint_dir: str,
+    name: str = "inc_dedup",
+    schema: str | StructType = "doc_id string, text string",
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_size: int = 256,
+    max_files_per_trigger: int = 1,
+    output_dir: str | None = None,
+) -> DataFrame:
+    """Drain a parquet directory through the stateful matcher with
+    availableNow (one file per micro-batch → membership genuinely
+    carries across batches). Memory sink by default; pass ``output_dir``
+    for a parquet sink with CHECKPOINT RECOVERY (a later call with the
+    same checkpoint resumes the state store and processes only new
+    files). Returns the candidate-pair table (per-band rows; consumers
+    dropDuplicates on (id_a, id_b))."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    pairs = incremental_dedup_stream(
+        stream,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+    )
+    if output_dir is not None:
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(output_dir)
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
