@@ -898,11 +898,14 @@ def _dd_is_chinese_sql() -> str:
     INDEPENDENT re-computation — clean to alpha tokens, keep len>1, then
     the surname/syllable/ban counting rules with the contract tables
     (whoiswho_spark/data/cn_romanizations.json) embedded as list
-    literals. ASCII-only battery, so the SQL needs no NFKD fold; the two
-    ban lists are identical in the reference (const.py:1-55), asserted
-    at mint time."""
+    literals. ASCII-only battery, so the SQL needs no NFKD fold. The
+    surname-side add-back uses ban_list_name and the token-side uses
+    ban_list_token (reference is_chinese.py:92-93) — kept as two lists
+    here so the oracle stays truthful even if the transcribed tables
+    ever drift apart (they are identical in the reference today)."""
     from whoiswho_spark.functions.is_chinese import (
         BAN_LIST_NAME,
+        BAN_LIST_TOKEN,
         CHINESE_NAME,
         CHINESE_TOKEN,
     )
@@ -910,6 +913,7 @@ def _dd_is_chinese_sql() -> str:
     cn_name = "[" + ", ".join(_dd_str(t) for t in sorted(CHINESE_NAME)) + "]"
     cn_tok = "[" + ", ".join(_dd_str(t) for t in sorted(CHINESE_TOKEN)) + "]"
     ban = "[" + ", ".join(_dd_str(t) for t in sorted(BAN_LIST_NAME)) + "]"
+    ban_t = "[" + ", ".join(_dd_str(t) for t in sorted(BAN_LIST_TOKEN)) + "]"
     names = "[" + ", ".join(_dd_str(n) for n in _SYNTH_CN_NAMES) + "]"
     n = len(_SYNTH_CN_NAMES)
     return f"""
@@ -925,14 +929,15 @@ def _dd_is_chinese_sql() -> str:
                 len(list_filter(ft, x -> list_contains({cn_tok}, x))) as ctok_total,
                 len(list_filter(ft, x -> list_contains({cn_tok}, x)
                                      and not list_contains({cn_name}, x))) as ctok_ex,
-                len(list_filter(ft, x -> list_contains({ban}, x))) as nban
+                len(list_filter(ft, x -> list_contains({ban}, x))) as nban,
+                len(list_filter(ft, x -> list_contains({ban_t}, x))) as nban_t
               from t)
         select c_custkey, raw_name,
                case when fs >= 3 then
                         (case when cname >= 1 or ctok_total >= 1
                               then cname + nban else cname end)
                       + (case when cname >= 1 or ctok_total >= 1
-                              then ctok_ex + nban else ctok_ex end)
+                              then ctok_ex + nban_t else ctok_ex end)
                       >= fs - 1
                     when fs >= 1 then cname >= 1 or (ctok_total >= 1 and nban >= 1)
                     else false end as is_cn

@@ -93,9 +93,13 @@ def test_cleaning_name_cn_pinyin_branch_with_stub(monkeypatch):
     fake.pinyin = lambda word, style=None: [[table[c]] for c in word]
     monkeypatch.setitem(sys.modules, "pypinyin", fake)
     assert cleaning_name_cn("李明") == "li ming"
-    monkeypatch.delitem(sys.modules, "pypinyin")
-    # gated: raw chars fall through, alpha fold drops the CJK plane
-    assert cleaning_name_cn("李明") == ""
+    # force the gated path regardless of whether a real pypinyin exists
+    # in this environment: a None sys.modules entry makes the import
+    # raise ImportError. CJK chars survive the fall-through and — being
+    # isalpha() — the fold keeps them as opaque tokens, exactly the
+    # reference-with-stub regime the goldens are minted in.
+    monkeypatch.setitem(sys.modules, "pypinyin", None)
+    assert cleaning_name_cn("李明") == "李明"
     # the pinned special-case table bypasses pypinyin entirely
     assert cleaning_name_cn("周晟") == "zhou sheng"
 

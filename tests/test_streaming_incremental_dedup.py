@@ -130,6 +130,45 @@ def test_incremental_dedup_resumes_from_checkpoint(spark, tmp_path):
     assert pairs == {("d000", "d009")}
 
 
+def test_incremental_dedup_duplicate_id_rows_match_batch(spark, tmp_path):
+    """Two rows sharing a doc_id with DIFFERENT text (recrawl shape):
+    membership and the `known` skip are per-(band,bucket), so the second
+    row's new buckets still process it and the pair set stays equal to
+    the batch operator's (a same-bucket duplicate-id row is a no-op for
+    the distinct pair set in both engines)."""
+    from whoiswho_spark.operators.dedup import minhash_dup_pairs
+    from whoiswho_spark.streaming.incremental_dedup import (
+        run_incremental_dedup_once,
+    )
+
+    rows = [
+        ("d1", "alpha beta gamma delta"),
+        ("d2", "alpha beta gamma delta"),
+        ("d1", "umber vole wren yak"),  # recrawled d1, different text
+        ("d3", "umber vole wren yak"),
+        ("d1", "alpha beta gamma delta"),  # identical re-delivery
+    ]
+    schema = "doc_id string, text string"
+    src = str(tmp_path / "docs_dupid")
+    spark.createDataFrame(rows[:3], schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(rows[3:], schema).coalesce(1).write.mode("append").parquet(src)
+
+    streamed = run_incremental_dedup_once(
+        spark, src, str(tmp_path / "ckpt_dupid"), name="inc_dd_dupid"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in streamed.dropDuplicates(["id_a", "id_b"]).collect()
+    }
+    batch = minhash_dup_pairs(spark.createDataFrame(rows, schema))
+    want = {(r["id_a"], r["id_b"]) for r in batch.collect()}
+    # both text identities of d1 must pair: d2 via the first text,
+    # d3 via the recrawl text
+    assert {("d1", "d2"), ("d1", "d3")} <= want
+    assert got == want
+
+
 def test_incremental_dedup_bucket_cap_bounds_state(spark, tmp_path):
     """Beyond max_bucket_size a bucket stops accumulating members but
     still reports new-vs-retained pairs: with cap=2 and four identical

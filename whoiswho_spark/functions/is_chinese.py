@@ -30,17 +30,17 @@ via pypinyin; a mixed name (>3 ASCII, >1 non-ASCII) keeps only the
 ASCII plane; then unidecode -> lowercase -> alpha-only fold. Parity
 notes: unidecode is absent here -> same NFKD fold as name_match.py;
 pypinyin is absent -> the pinyin branch is gated, and a name that needs
-it falls through with its raw characters (the NFKD fold then drops
-non-Latin scripts, so such names read as their ASCII remnant — the
-webtext retarget never exercises this branch; goldens are minted
-pinyin-free, see tools/mint_is_chinese_goldens.py).
+it falls through with its raw characters (CJK chars are isalpha(), so
+they survive the fold as opaque tokens that hit no table — the same
+behavior the reference-with-stub regime exhibits; the webtext retarget
+never exercises this branch, and goldens are minted pinyin-free, see
+tools/mint_is_chinese_goldens.py).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import re
 import unicodedata
 from functools import lru_cache
 
@@ -85,9 +85,6 @@ PINYIN_SPECIAL_CASE = {
     "郭强": "guo qiang",
 }
 
-_NON_ALPHA = re.compile(r"[^a-z]+")
-
-
 def _ascii_fold(s: str) -> str:
     d = unicodedata.normalize("NFKD", s)
     return "".join(ch for ch in d if not unicodedata.combining(ch))
@@ -114,7 +111,11 @@ def cleaning_name_cn(name: str) -> str:
     elif len(en_name) > 3 and len(cn_name) > 1:
         name = en_name
     s = _ascii_fold(name).lower()
-    s = _NON_ALPHA.sub(" ", s)
+    # the reference keeps isalpha() chars, NOT [a-z] (is_chinese.py:36-42):
+    # NFKD-surviving letters like ß/ø/ł/æ stay token-internal ('ßen' is
+    # one unknown token, not a stray 'en' syllable hit) — [^a-z] here
+    # diverged from the reference on real German/Nordic/Polish names.
+    s = "".join(c if c.isalpha() else " " for c in s)
     return " ".join(s.split())
 
 

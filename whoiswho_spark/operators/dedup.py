@@ -75,6 +75,25 @@ def minhash_table(
     )
 
 
+def band_bucket_structs(sig: list[Column], rows_per_band: int) -> list[Column]:
+    """(band, bucket) structs over a signature column list — THE bucket
+    definition, shared by the batch operator below and the streaming
+    twin (streaming/incremental_dedup.minhash_stream_buckets) so the two
+    engines land every doc in byte-identical buckets by construction."""
+    bands = []
+    for b in range(len(sig) // rows_per_band):
+        parts = sig[b * rows_per_band : (b + 1) * rows_per_band]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *[p.cast("string") for p in parts])).alias(
+                    "bucket"
+                ),
+            )
+        )
+    return bands
+
+
 def minhash_band_buckets(
     df: DataFrame,
     text_col: str = "text",
@@ -86,17 +105,7 @@ def minhash_band_buckets(
     candidate duplicate pair."""
     base = _distinct_tokens_first(df, text_col, id_col)
     sig = minhash_signature_cols(F.col("_toks"), num_hashes)
-    bands = []
-    for b in range(num_hashes // rows_per_band):
-        parts = sig[b * rows_per_band : (b + 1) * rows_per_band]
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("_", *[p.cast("string") for p in parts])).alias(
-                    "bucket"
-                ),
-            )
-        )
+    bands = band_bucket_structs(sig, rows_per_band)
     return base.select(F.col(id_col), F.explode(F.array(*bands)).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )

@@ -43,7 +43,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 from whoiswho_spark.operators.blocking import minhash_signature_cols
-from whoiswho_spark.operators.dedup import _distinct_tokens_first
+from whoiswho_spark.operators.dedup import _distinct_tokens_first, band_bucket_structs
 
 OUTPUT_SCHEMA = (
     "id_a string, id_b string, band int, bucket string, est_jaccard double"
@@ -65,17 +65,7 @@ def minhash_stream_buckets(
     base = _distinct_tokens_first(docs, text_col, id_col)
     sig = minhash_signature_cols(F.col("_toks"), num_hashes)
     sig_str = F.concat_ws("_", *[s.cast("string") for s in sig])
-    bands = []
-    for b in range(num_hashes // rows_per_band):
-        parts = sig[b * rows_per_band : (b + 1) * rows_per_band]
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("_", *[p.cast("string") for p in parts])).alias(
-                    "bucket"
-                ),
-            )
-        )
+    bands = band_bucket_structs(sig, rows_per_band)
     return base.select(
         F.col(id_col).alias("doc_id"),
         sig_str.alias("sig"),
@@ -114,7 +104,14 @@ def make_bucket_matcher(max_bucket_size: int = 256):
         if len(whole):
             pdf = whole.sort_values("doc_id")
             for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
-                if doc_id in known:  # replayed input file: idempotent
+                if doc_id in known:
+                    # already a member of THIS bucket: the row adds
+                    # nothing the batch bucket join wouldn't dedupe away
+                    # (its pairs here all exist), so skipping keeps the
+                    # pair set equal to batch — proven by the
+                    # duplicate-id parity test. A recrawled id with NEW
+                    # text lands in different buckets and is processed
+                    # there normally.
                     continue
                 for old_id, old_sig in zip(ids, sigs):
                     a, b = sorted((old_id, doc_id))
