@@ -666,6 +666,64 @@ def _q_name_match_pairs(spark, sf):
     )
 
 
+# 30 deterministic name clusters (4 members each, assigned to customer
+# keys 1..120 by residue): 10 self-consistent persons, 10 person+intruder,
+# 10 four-different-people. The per-cluster truth below is FROZEN from
+# the reference's dryRun (tool/match_name.py:18-48) via the
+# tools/mint_is_chinese_goldens.py harness.
+_CLUSTER_CHECK = [
+    ["William Smith", "W. Smith", "w smith", "william h smith"],
+    ["anna maria lopez", "a m lopez", "anna lopez", "a maria lopez"],
+    ["Robert De Niro", "r de niro", "robert de niro", "robert niro"],
+    ["Jing Zhang", "j zhang", "jing zhang", "zhang jing"],
+    ["Jane Doe", "j doe", "jane doe", "jane d doe"],
+    ["Harry Dankowicz", "h dankowicz", "harry dankowicz", "h. dankowicz"],
+    ["Natalia Jimeno", "n jimeno", "natalia jimeno", "natalia j jimeno"],
+    ["Mark Manwaring", "m manwaring", "mark l manwaring", "mark manwaring"],
+    ["Elisabeth Umkehrer", "e umkehrer", "elisabeth umkehrer", "e. umkehrer"],
+    ["Victor Kureichick", "v kureichick", "victor m kureichick", "victor kureichick"],
+]
+_CLUSTER_CHECK_INTRUDERS = [
+    "Buzz Aldrin", "K. Moribe", "Jose Pereira", "Yufeng Xin", "P Ludvigsen",
+    "Mahir Hassan", "Olaf Flippo", "Edmund Pierzchala", "Zhen Song",
+    "Gebreselassie Baraki",
+]
+
+
+def _cluster_check_spec() -> tuple[list[list[str]], list[bool]]:
+    clusters = [list(p) for p in _CLUSTER_CHECK]
+    for i in range(10):
+        clusters.append(list(_CLUSTER_CHECK[i][:3]) + [_CLUSTER_CHECK_INTRUDERS[i]])
+    for i in range(10):
+        clusters.append([_CLUSTER_CHECK[(i + j) % 10][j] for j in range(4)])
+    flags = [True] * 10 + [False] * 20  # reference-minted (see above)
+    return clusters, flags
+
+
+def _q_cluster_name_check(spark, sf):
+    """Per-cluster dryRun name-consistency validation
+    (tool/match_name.py:18-48, the pretreat_unass cluster gate) as a
+    grouped DataFrame op over deterministic synthetic clusters. Oracle =
+    frozen reference-minted dryRun verdicts."""
+    from whoiswho_spark.functions.name_match import cluster_name_consistency
+
+    clusters, _ = _cluster_check_spec()
+    # flat[k] for customer key k in 0..119: cluster k%30, slot k//30
+    flat = [clusters[k % 30][k // 30] for k in range(120)]
+    df = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_custkey") < 120)
+        .select(
+            F.pmod(F.col("c_custkey"), F.lit(30)).cast("int").alias("cluster_id"),
+            F.element_at(
+                F.array(*[F.lit(n) for n in flat]),
+                F.col("c_custkey").cast("int") + F.lit(1),
+            ).alias("name"),
+        )
+    )
+    return cluster_name_consistency(df, "cluster_id", "name")
+
+
 def _q_is_chinese_census(spark, sf):
     """is_chinese_name (tool/is_chinese.py:70-97, const.py romanization
     tables) over a deterministic ASCII name battery. The oracle is fully
@@ -857,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_normalize_census": _q_name_normalize_census,
         "name_match_pairs": _q_name_match_pairs,
         "is_chinese_census": _q_is_chinese_census,
+        "cluster_name_check": _q_cluster_name_check,
         "bond_threshold_edges": _q_bond_threshold_edges,
         "incremental_er": _q_incremental_er,
         "incremental_dedup": _q_incremental_dedup,
@@ -891,6 +950,24 @@ def _dd_case(idx_expr: str, values: list[str]) -> str:
         f"when {i} then {_dd_str(v)}" for i, v in enumerate(values)
     )
     return f"(case {idx_expr} {whens} end)"
+
+
+def _dd_cluster_check_sql() -> str:
+    """DuckDB twin of the cluster_name_check query: membership counted
+    in SQL, per-cluster verdict FROZEN from the reference dryRun (the
+    battery itself is not SQL-expressible; same precedent as the
+    name_match_pairs frozen oracle)."""
+    _, flags = _cluster_check_spec()
+    true_ids = ", ".join(str(i) for i, f in enumerate(flags) if f)
+    return f"""
+        with g as (
+            select cast(c_custkey % 30 as int) as cluster_id
+            from customer where c_custkey < 120)
+        select cluster_id,
+               cast(count(*) as int) as n_members,
+               (cluster_id in ({true_ids})) as consistent
+        from g group by cluster_id
+    """
 
 
 def _dd_is_chinese_sql() -> str:
@@ -1400,6 +1477,7 @@ def oracle_sql() -> dict[str, str]:
             from k
         """,
         "is_chinese_census": _dd_is_chinese_sql(),
+        "cluster_name_check": _dd_cluster_check_sql(),
         "bond_threshold_edges": f"""
             with e as (
                 select o_custkey as src, o_orderkey as dst,

@@ -187,6 +187,39 @@ def test_dry_run_reference_goldens():
         assert dry_run(names) == want, names
 
 
+def test_cluster_name_consistency_grouped_op(spark):
+    """cluster_name_consistency: per-cluster dryRun over CLEANED member
+    names via applyInPandas; verdicts match the direct dry_run calls
+    (which are themselves reference-golden-tested above)."""
+    from whoiswho_spark.functions.name_match import (
+        cluster_name_consistency,
+        dry_run,
+    )
+
+    rows = [
+        ("good", "William Smith"), ("good", "W. Smith"),
+        ("good", "william h smith"),
+        ("bad", "William Smith"), ("bad", "Jane Doe"), ("bad", "K. Moribe"),
+        ("solo", "P Ludvigsen"),
+        ("empt", ""), ("empt", "   "),
+    ]
+    df = spark.createDataFrame(rows, "cluster_id string, name string")
+    got = {
+        r["cluster_id"]: (r["n_members"], r["consistent"])
+        for r in cluster_name_consistency(df).collect()
+    }
+    assert got["good"] == (3, True)
+    assert got["bad"] == (3, False)
+    assert got["solo"] == (1, True)
+    # all-empty member names reduce to the empty set → trivially True
+    assert got["empt"] == (2, True)
+    for cid, names in {
+        "good": {"william smith", "w smith", "william h smith"},
+        "bad": {"william smith", "jane doe", "k moribe"},
+    }.items():
+        assert got[cid][1] == dry_run(names), cid
+
+
 def test_names_match_udf_roundtrip(spark):
     from pyspark.sql import functions as F
 

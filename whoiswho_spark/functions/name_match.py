@@ -406,6 +406,46 @@ def find_main(
 # --- DataFrame surface -------------------------------------------------------
 
 
+def cluster_name_consistency(
+    df, cluster_col: str = "cluster_id", name_col: str = "name"
+):
+    """Per-cluster ``dry_run`` validation as a grouped DataFrame op
+    (tool/match_name.py:18-48; pretreat_unass uses dryRun to decide
+    whether a candidate cluster's author names are self-consistent
+    before trusting it). Input: (cluster, raw name) rows; output one row
+    per cluster with the member count and the dryRun verdict over the
+    members' CLEANED names. groupBy().applyInPandas — the same grouped
+    shape as per-block DBSCAN, so it scales by cluster key."""
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    in_type = df.schema[cluster_col].dataType
+    out_schema = StructType(
+        [
+            StructField(cluster_col, in_type),
+            StructField("n_members", IntegerType()),
+            StructField("consistent", BooleanType()),
+        ]
+    )
+
+    def _check(pdf: pd.DataFrame) -> pd.DataFrame:
+        cleaned = {clean_name(n or "") for n in pdf[name_col]}
+        cleaned.discard("")
+        return pd.DataFrame(
+            {
+                cluster_col: [pdf[cluster_col].iloc[0]],
+                "n_members": [len(pdf)],
+                "consistent": [dry_run(cleaned)],
+            }
+        )
+
+    return df.groupBy(cluster_col).applyInPandas(_check, out_schema)
+
+
 @pandas_udf(StringType())
 def tokenize_name_udf(names: pd.Series) -> pd.Series:
     return names.map(tokenize_name)
