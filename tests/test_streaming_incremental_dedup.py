@@ -169,6 +169,46 @@ def test_incremental_dedup_duplicate_id_rows_match_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_metrics_counters_per_microbatch(spark, tmp_path):
+    """metrics_dir wiring: one counters row PER MICRO-BATCH in the
+    streaming metrics table (the north rule's lineage contract applied
+    to the stateful operators) — input rows sum to the corpus size and
+    the state-store row count is carried."""
+    from whoiswho_spark.plans.metrics import read_streaming_metrics
+    from whoiswho_spark.streaming.incremental_dedup import (
+        run_incremental_dedup_once,
+    )
+
+    src = str(tmp_path / "docs_metrics")
+    schema = "doc_id string, text string"
+    spark.createDataFrame(
+        [_docs(0, ["alpha", "beta", "gamma"]), _docs(1, ["alpha", "beta", "gamma"])],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [_docs(2, ["alpha", "beta", "gamma"])], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    mdir = str(tmp_path / "work")
+    run_incremental_dedup_once(
+        spark, src, str(tmp_path / "ckpt_m"), name="inc_dd_metrics",
+        metrics_dir=mdir, run_id="testrun",
+    )
+    m = read_streaming_metrics(spark, mdir)
+    rows = sorted(
+        (r["batch_id"], r["input_rows"], r["state_rows"]) for r in m.collect()
+    )
+    batches_with_input = [r for r in rows if r[1] > 0]
+    assert len(batches_with_input) == 2  # one per drained file
+    assert sum(r[1] for r in rows) == 3
+    # state rows = state KEYS: identical docs share one bucket per band
+    # → 2 (band,bucket) groups in the store after the final batch
+    assert max(r[2] for r in rows) == 2
+    assert {r["run_id"] for r in m.collect()} == {"testrun"}
+    assert {r["query"] for r in m.collect()} == {"inc_dd_metrics"}
+
+
 def test_incremental_dedup_bucket_cap_bounds_state(spark, tmp_path):
     """Beyond max_bucket_size a bucket stops accumulating members but
     still reports new-vs-retained pairs: with cap=2 and four identical

@@ -115,3 +115,53 @@ def stage(
 
 def read_metrics(spark: SparkSession, workdir: str) -> DataFrame:
     return spark.read.schema(METRICS_SCHEMA).parquet(f"{workdir}/metrics")
+
+
+# --- streaming counters -------------------------------------------------------
+
+STREAMING_METRICS_SCHEMA = (
+    "run_id string, query string, batch_id bigint, input_rows bigint, "
+    "output_rows bigint, state_rows bigint, wall_ms bigint, ts timestamp"
+)
+
+
+def append_streaming_metrics(
+    spark: SparkSession, workdir: str, run_id: str, query
+) -> None:
+    """Per-MICRO-BATCH counters for a finished streaming query — the
+    streaming twin of ``append_metrics`` (the north rule's metrics-table
+    contract applied to the stateful operators). One row per progress
+    event from ``query.recentProgress``: input/output row counts, the
+    state-store row total (registry/membership size), and batch wall.
+    Appended to ``{workdir}/metrics_streaming``; at cluster scale the
+    same rows target an Iceberg table."""
+    rows = []
+    for p in query.recentProgress:
+        state = p.get("stateOperators") or []
+        state_rows = sum(int(s.get("numRowsTotal", 0)) for s in state)
+        sink_rows = int((p.get("sink") or {}).get("numOutputRows", -1))
+        rows.append(
+            (
+                run_id,
+                str(p.get("name") or p.get("id") or "query"),
+                int(p.get("batchId", -1)),
+                int(p.get("numInputRows", 0)),
+                sink_rows,
+                state_rows,
+                int((p.get("durationMs") or {}).get("triggerExecution", 0)),
+            )
+        )
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows,
+        "run_id string, query string, batch_id bigint, input_rows bigint, "
+        "output_rows bigint, state_rows bigint, wall_ms bigint",
+    ).withColumn("ts", F.current_timestamp())
+    df.coalesce(1).write.mode("append").parquet(f"{workdir}/metrics_streaming")
+
+
+def read_streaming_metrics(spark: SparkSession, workdir: str) -> DataFrame:
+    return spark.read.schema(STREAMING_METRICS_SCHEMA).parquet(
+        f"{workdir}/metrics_streaming"
+    )

@@ -164,14 +164,20 @@ def run_incremental_dedup_once(
     max_bucket_size: int = 256,
     max_files_per_trigger: int = 1,
     output_dir: str | None = None,
+    metrics_dir: str | None = None,
+    run_id: str | None = None,
 ) -> DataFrame:
     """Drain a parquet directory through the stateful matcher with
     availableNow (one file per micro-batch → membership genuinely
     carries across batches). Memory sink by default; pass ``output_dir``
     for a parquet sink with CHECKPOINT RECOVERY (a later call with the
     same checkpoint resumes the state store and processes only new
-    files). Returns the candidate-pair table (per-band rows; consumers
-    dropDuplicates on (id_a, id_b))."""
+    files). Pass ``metrics_dir`` to append per-micro-batch counters to
+    the streaming metrics table (plans/metrics.py). Returns the
+    candidate-pair table (per-band rows; consumers dropDuplicates on
+    (id_a, id_b))."""
+    from whoiswho_spark.plans.metrics import append_streaming_metrics, new_run_id
+
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -186,6 +192,7 @@ def run_incremental_dedup_once(
     if output_dir is not None:
         q = (
             pairs.writeStream.format("parquet")
+            .queryName(name)
             .option("path", output_dir)
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("append")
@@ -193,6 +200,8 @@ def run_incremental_dedup_once(
             .start()
         )
         q.awaitTermination()
+        if metrics_dir is not None:
+            append_streaming_metrics(spark, metrics_dir, run_id or new_run_id(), q)
         return spark.read.parquet(output_dir)
     q = (
         pairs.writeStream.format("memory")
@@ -203,4 +212,6 @@ def run_incremental_dedup_once(
         .start()
     )
     q.awaitTermination()
+    if metrics_dir is not None:
+        append_streaming_metrics(spark, metrics_dir, run_id or new_run_id(), q)
     return spark.table(name)

@@ -131,6 +131,8 @@ def run_incremental_er_once(
     schema: str | StructType = "url string, block_key string, toks array<string>",
     max_files_per_trigger: int = 1,
     output_dir: str | None = None,
+    metrics_dir: str | None = None,
+    run_id: str | None = None,
 ) -> DataFrame:
     """Drain a parquet directory through the stateful assigner with
     availableNow (one file per micro-batch → state genuinely carries
@@ -138,7 +140,12 @@ def run_incremental_er_once(
     pass ``output_dir`` for a parquet sink, which — unlike the memory
     sink — supports CHECKPOINT RECOVERY, so a later call with the same
     checkpoint resumes the state store and processes only new files.
+    Pass ``metrics_dir`` to append per-micro-batch counters (input/
+    output/state rows, batch wall) to the streaming metrics table — the
+    north rule's lineage contract applied to the stateful operator.
     Returns the full assignment table."""
+    from whoiswho_spark.plans.metrics import append_streaming_metrics, new_run_id
+
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -148,6 +155,7 @@ def run_incremental_er_once(
     if output_dir is not None:
         q = (
             assigned.writeStream.format("parquet")
+            .queryName(name)
             .option("path", output_dir)
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("append")
@@ -155,6 +163,8 @@ def run_incremental_er_once(
             .start()
         )
         q.awaitTermination()
+        if metrics_dir is not None:
+            append_streaming_metrics(spark, metrics_dir, run_id or new_run_id(), q)
         return spark.read.parquet(output_dir)
     q = (
         assigned.writeStream.format("memory")
@@ -165,4 +175,6 @@ def run_incremental_er_once(
         .start()
     )
     q.awaitTermination()
+    if metrics_dir is not None:
+        append_streaming_metrics(spark, metrics_dir, run_id or new_run_id(), q)
     return spark.table(name)
