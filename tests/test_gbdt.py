@@ -124,3 +124,37 @@ def test_per_group_gbdt_separates_group_flipped_labels(spark):
     got2 = {r["url"]: r["gbdt_score"] for r in fit_predict_gbdt_per_group(
         df, "blk", ["f_x", "f_noise"], n_trees=10, min_rows=8).collect()}
     assert got == got2
+
+
+def test_ensemble_vote_col_weighted_mean(spark):
+    """AutoTrainRND.py:36-48 semantics: sum(score_i * w_i) / sum(w);
+    equal weights degrade to the fold mean."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from whoiswho_spark.operators.gbdt import ensemble_vote_col
+
+    rows = [(0.9, 0.1, 0.5), (0.2, 0.8, 0.4), (0.0, 1.0, 1.0)]
+    df = spark.createDataFrame(rows, "s0 double, s1 double, s2 double")
+    w = [3.0, 1.0, 2.0]
+    got = [
+        r["v"]
+        for r in df.select(
+            ensemble_vote_col(["s0", "s1", "s2"], w).alias("v")
+        ).collect()
+    ]
+    want = [sum(s * wi for s, wi in zip(r, w)) / sum(w) for r in rows]
+    assert np.allclose(got, want)
+
+    eq = [
+        r["v"]
+        for r in df.select(ensemble_vote_col(["s0", "s1", "s2"]).alias("v")).collect()
+    ]
+    assert np.allclose(eq, [sum(r) / 3 for r in rows])
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ensemble_vote_col(["s0"], [1.0, 2.0])
+    with pytest.raises(ValueError):
+        ensemble_vote_col(["s0", "s1"], [0.0, 0.0])

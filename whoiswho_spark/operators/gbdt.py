@@ -306,3 +306,25 @@ def fit_predict_gbdt_per_group(
         .groupBy(group_col)
         .applyInPandas(fit_predict, out_schema)
     )
+
+
+def ensemble_vote_col(score_cols, weights=None):
+    """Cell-weighted ensemble vote (AutoTrainRND.py:36-48): the final
+    assignment score accumulates ``score_i * cell_weight_i /
+    cell_weight_sum`` across model cells. With ``weights=None`` (equal
+    weights) this is the fold/model mean the reference applies inside
+    ``GBDTModel.predict`` (ClassficationModels.py:303-331). Pure
+    Catalyst column arithmetic over per-cell score columns."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in score_cols]
+    if weights is None:
+        weights = [1.0] * len(cols)
+    if len(weights) != len(cols):
+        raise ValueError("score_cols and weights must align")
+    total = float(sum(weights))
+    if total == 0.0:
+        raise ValueError("weights sum to zero")
+    expr = None
+    for c, w in zip(cols, weights):
+        term = c * F.lit(float(w) / total)
+        expr = term if expr is None else expr + term
+    return expr
