@@ -209,6 +209,44 @@ def test_streaming_metrics_counters_per_microbatch(spark, tmp_path):
     assert {r["query"] for r in m.collect()} == {"inc_dd_metrics"}
 
 
+def test_incremental_dedup_event_time_retention(spark, tmp_path):
+    """retention_seconds bounds membership by EVENT time: a member whose
+    ingest timestamp falls outside the new doc's trailing window is
+    evicted before pairing. Deterministic — no wall clock, no sleeps.
+    d0(ts=100) pairs with d4(ts=140) (inside the 60 s window); d9
+    (ts=190) evicts d0 (cutoff 130) and pairs only with d4. Without
+    retention the same input yields all three pairs."""
+    from whoiswho_spark.streaming.incremental_dedup import (
+        run_incremental_dedup_once,
+    )
+
+    schema = "doc_id string, text string, ts bigint"
+    same = "alpha beta gamma delta"
+    rows1 = [("d0", same, 100)]
+    rows2 = [("d4", same, 140), ("d9", same, 190)]
+
+    def run(tag, retention):
+        src = str(tmp_path / f"docs_{tag}")
+        spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        got = run_incremental_dedup_once(
+            spark, src, str(tmp_path / f"ckpt_{tag}"), name=f"inc_dd_{tag}",
+            schema=schema, ts_col="ts", retention_seconds=retention,
+        )
+        return {
+            (r["id_a"], r["id_b"])
+            for r in got.dropDuplicates(["id_a", "id_b"]).collect()
+        }
+
+    assert run("ret", 60) == {("d0", "d4"), ("d4", "d9")}
+    assert run("noret", None) == {("d0", "d4"), ("d0", "d9"), ("d4", "d9")}
+
+
 def test_incremental_dedup_bucket_cap_bounds_state(spark, tmp_path):
     """Beyond max_bucket_size a bucket stops accumulating members but
     still reports new-vs-retained pairs: with cap=2 and four identical

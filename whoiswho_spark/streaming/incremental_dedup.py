@@ -43,12 +43,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 from whoiswho_spark.operators.blocking import minhash_signature_cols
-from whoiswho_spark.operators.dedup import _distinct_tokens_first, band_bucket_structs
+from whoiswho_spark.operators.dedup import band_bucket_structs, tokens_col
 
 OUTPUT_SCHEMA = (
     "id_a string, id_b string, band int, bucket string, est_jaccard double"
 )
-STATE_SCHEMA = "ids array<string>, sigs array<string>"
+STATE_SCHEMA = "ids array<string>, sigs array<string>, tss array<bigint>"
 
 
 def minhash_stream_buckets(
@@ -57,20 +57,37 @@ def minhash_stream_buckets(
     id_col: str = "doc_id",
     num_hashes: int = 4,
     rows_per_band: int = 2,
+    ts_col: str | None = None,
 ) -> DataFrame:
-    """(id, band, bucket, sig) for a (streaming or batch) documents
+    """(id, band, bucket, sig, ts) for a (streaming or batch) documents
     frame — the dedup.minhash_band_buckets chain, carrying the full
-    signature string for the est_jaccard column. Pure Catalyst, so it
-    runs unchanged on a readStream source."""
-    base = _distinct_tokens_first(docs, text_col, id_col)
+    signature string for the est_jaccard column and an ingest timestamp
+    (epoch seconds; 0 when ``ts_col`` is None) for retention. Pure
+    Catalyst, so it runs unchanged on a readStream source."""
+    ts = F.col(ts_col).cast("bigint") if ts_col else F.lit(0).cast("bigint")
+    # same tokenize chain as the batch operator (dedup.tokens_col +
+    # array_distinct — the _distinct_tokens_first projection, widened by
+    # the ts column)
+    base = docs.select(
+        F.col(id_col),
+        ts.alias("ts"),
+        F.array_distinct(tokens_col(F.col(text_col))).alias("_toks"),
+    )
     sig = minhash_signature_cols(F.col("_toks"), num_hashes)
     sig_str = F.concat_ws("_", *[s.cast("string") for s in sig])
     bands = band_bucket_structs(sig, rows_per_band)
     return base.select(
         F.col(id_col).alias("doc_id"),
         sig_str.alias("sig"),
+        "ts",
         F.explode(F.array(*bands)).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "sig")
+    ).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+        "sig",
+        "ts",
+    )
 
 
 def _est_jaccard(sig_a: str, sig_b: str) -> float:
@@ -80,10 +97,19 @@ def _est_jaccard(sig_a: str, sig_b: str) -> float:
     return sum(1 for x, y in zip(pa, pb) if x == y) / len(pa)
 
 
-def make_bucket_matcher(max_bucket_size: int = 256):
+def make_bucket_matcher(
+    max_bucket_size: int = 256, retention_seconds: int | None = None
+):
     """Per-(band,bucket) stateful matcher: every new doc pairs with the
     bucket's retained members, then joins the membership (up to the
-    cap)."""
+    cap). With ``retention_seconds`` set, members whose ingest timestamp
+    falls outside ``new_doc.ts - retention`` are EVICTED before pairing
+    — EVENT-TIME retention: dedup against the trailing-T ingest window,
+    the bound that keeps total state proportional to ingest-rate × T
+    instead of corpus size at 100 TB. Data-driven and deterministic (no
+    wall clock, no Spark timers — ProcessingTimeTimeout never terminates
+    under availableNow in this Spark build, verified empirically).
+    Default (None) retains members forever: exact batch parity."""
 
     def match(
         key: Tuple[Any, ...],
@@ -92,18 +118,21 @@ def make_bucket_matcher(max_bucket_size: int = 256):
     ) -> Iterator[pd.DataFrame]:
         band, bucket = key[0], key[1]
         if state.exists:
-            ids, sigs = state.get
-            ids, sigs = list(ids), list(sigs)
+            ids, sigs, tss = (list(x) for x in state.get)
         else:
-            ids, sigs = [], []
+            ids, sigs, tss = [], [], []
         known = set(ids)
 
         out = {"id_a": [], "id_b": [], "band": [], "bucket": [], "est_jaccard": []}
         chunks = list(pdfs)
         whole = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
         if len(whole):
-            pdf = whole.sort_values("doc_id")
-            for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+            # event-time order when retention is on (eviction must see
+            # docs oldest-first); plain id order otherwise — both are
+            # deterministic for a given file split
+            sort_keys = ["ts", "doc_id"] if retention_seconds is not None else ["doc_id"]
+            pdf = whole.sort_values(sort_keys)
+            for doc_id, sig, ts in zip(pdf["doc_id"], pdf["sig"], pdf["ts"]):
                 if doc_id in known:
                     # already a member of THIS bucket: the row adds
                     # nothing the batch bucket join wouldn't dedupe away
@@ -113,6 +142,13 @@ def make_bucket_matcher(max_bucket_size: int = 256):
                     # text lands in different buckets and is processed
                     # there normally.
                     continue
+                if retention_seconds is not None:
+                    cutoff = int(ts) - retention_seconds
+                    keep = [i for i, t in enumerate(tss) if t >= cutoff]
+                    if len(keep) != len(ids):
+                        ids = [ids[i] for i in keep]
+                        sigs = [sigs[i] for i in keep]
+                        tss = [tss[i] for i in keep]
                 for old_id, old_sig in zip(ids, sigs):
                     a, b = sorted((old_id, doc_id))
                     out["id_a"].append(a)
@@ -123,8 +159,9 @@ def make_bucket_matcher(max_bucket_size: int = 256):
                 if len(ids) < max_bucket_size:
                     ids.append(doc_id)
                     sigs.append(sig)
+                    tss.append(int(ts))
                 known.add(doc_id)
-        state.update((ids, sigs))
+        state.update((ids, sigs, tss))
         yield pd.DataFrame(out)
 
     return match
@@ -137,15 +174,20 @@ def incremental_dedup_stream(
     num_hashes: int = 4,
     rows_per_band: int = 2,
     max_bucket_size: int = 256,
+    ts_col: str | None = None,
+    retention_seconds: int | None = None,
 ) -> DataFrame:
-    """documents stream (id, text) → (id_a, id_b, band, bucket,
+    """documents stream (id, text[, ts]) → (id_a, id_b, band, bucket,
     est_jaccard) append stream of candidate duplicate pairs; bucket
     membership persists across micro-batches (and restarts, via the
     checkpoint dir). The groupBy shuffle is the same (band, bucket)
-    shuffle the batch bucket-join pays."""
-    bucketed = minhash_stream_buckets(docs, text_col, id_col, num_hashes, rows_per_band)
+    shuffle the batch bucket-join pays. ``ts_col`` + ``retention_
+    seconds`` bound retention by event time (see make_bucket_matcher)."""
+    bucketed = minhash_stream_buckets(
+        docs, text_col, id_col, num_hashes, rows_per_band, ts_col=ts_col
+    )
     return bucketed.groupBy("band", "bucket").applyInPandasWithState(
-        make_bucket_matcher(max_bucket_size),
+        make_bucket_matcher(max_bucket_size, retention_seconds),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
@@ -162,6 +204,8 @@ def run_incremental_dedup_once(
     num_hashes: int = 4,
     rows_per_band: int = 2,
     max_bucket_size: int = 256,
+    ts_col: str | None = None,
+    retention_seconds: int | None = None,
     max_files_per_trigger: int = 1,
     output_dir: str | None = None,
     metrics_dir: str | None = None,
@@ -188,6 +232,8 @@ def run_incremental_dedup_once(
         num_hashes=num_hashes,
         rows_per_band=rows_per_band,
         max_bucket_size=max_bucket_size,
+        ts_col=ts_col,
+        retention_seconds=retention_seconds,
     )
     if output_dir is not None:
         q = (
