@@ -247,6 +247,38 @@ def test_incremental_dedup_event_time_retention(spark, tmp_path):
     assert run("noret", None) == {("d0", "d4"), ("d0", "d9"), ("d4", "d9")}
 
 
+def test_incremental_dedup_retention_readmits_recrawled_member(spark, tmp_path):
+    """An id evicted earlier in the SAME micro-batch and re-delivered
+    with a fresh timestamp must re-admit and pair (the membership skip
+    set is kept in sync with eviction): d9(ts=190) evicts d0(ts=100),
+    then the d0 recrawl at ts=195 pairs with d9 and rejoins the
+    bucket."""
+    from whoiswho_spark.streaming.incremental_dedup import (
+        run_incremental_dedup_once,
+    )
+
+    schema = "doc_id string, text string, ts bigint"
+    same = "alpha beta gamma delta"
+    src = str(tmp_path / "docs_readmit")
+    spark.createDataFrame([("d0", same, 100)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [("d9", same, 190), ("d0", same, 195)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    got = run_incremental_dedup_once(
+        spark, src, str(tmp_path / "ckpt_readmit"), name="inc_dd_readmit",
+        schema=schema, ts_col="ts", retention_seconds=60,
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in got.dropDuplicates(["id_a", "id_b"]).collect()
+    }
+    assert pairs == {("d0", "d9")}
+
+
 def test_incremental_dedup_bucket_cap_bounds_state(spark, tmp_path):
     """Beyond max_bucket_size a bucket stops accumulating members but
     still reports new-vs-retained pairs: with cap=2 and four identical

@@ -210,6 +210,21 @@ def main() -> None:
             loose_idx.append(i)
     print(f"name_match_pairs truth with real predicate: strict={strict_idx} loose={loose_idx}")
 
+    # cluster_name_check frozen-oracle truth: reference dryRun over each
+    # spec cluster's CLEANED member names (the flags frozen in
+    # __spark_entry__._cluster_check_spec).
+    from __spark_entry__ import _cluster_check_spec
+
+    clusters, frozen = _cluster_check_spec()
+    minted = []
+    for c in clusters:
+        names = {clean_name(n) for n in c}
+        names.discard("")
+        minted.append(bool(mods["match_name"].dryRun(set(names))))
+    drift = [i for i, (a, b) in enumerate(zip(minted, frozen)) if a != b]
+    print(f"cluster_name_check truth: {sum(minted)}/{len(minted)} consistent; "
+          f"drift vs frozen flags: {drift or 'none'}")
+
 
 if __name__ == "__main__":
     main()

@@ -134,7 +134,13 @@ def append_streaming_metrics(
     event from ``query.recentProgress``: input/output row counts, the
     state-store row total (registry/membership size), and batch wall.
     Appended to ``{workdir}/metrics_streaming``; at cluster scale the
-    same rows target an Iceberg table."""
+    same rows target an Iceberg table.
+
+    ``recentProgress`` retains the LAST ``spark.sql.streaming.
+    numRecentProgressUpdates`` events (default 100) — the run_*_once
+    helpers raise it before starting when a metrics_dir is passed; for
+    hand-rolled long-running queries raise it yourself or attach a
+    StreamingQueryListener."""
     rows = []
     for p in query.recentProgress:
         state = p.get("stateOperators") or []
@@ -153,11 +159,12 @@ def append_streaming_metrics(
         )
     if not rows:
         return
-    df = spark.createDataFrame(
-        rows,
-        "run_id string, query string, batch_id bigint, input_rows bigint, "
-        "output_rows bigint, state_rows bigint, wall_ms bigint",
-    ).withColumn("ts", F.current_timestamp())
+    # write schema = read schema minus the ts column (stamped below) —
+    # derived, not re-declared, so the two cannot drift
+    write_schema = STREAMING_METRICS_SCHEMA.rsplit(", ts timestamp", 1)[0]
+    df = spark.createDataFrame(rows, write_schema).withColumn(
+        "ts", F.current_timestamp()
+    )
     df.coalesce(1).write.mode("append").parquet(f"{workdir}/metrics_streaming")
 
 

@@ -30,6 +30,12 @@ Pairs are emitted once per shared (band, bucket); cross-band duplicates
 are left to the consumer (``.dropDuplicates(["id_a","id_b"])``) because
 different bands live in different state partitions — the same reason the
 batch plan dedups AFTER its bucket join.
+
+State schema is v2 (ids, sigs, tss) since event-time retention landed;
+a checkpoint written by the v1 (ids, sigs) schema cannot resume against
+this build — Spark's state-schema compatibility check aborts the query.
+Start a fresh checkpoint directory (the pair OUTPUT is append-only
+parquet and survives; re-draining the source rebuilds membership).
 """
 
 from __future__ import annotations
@@ -64,7 +70,13 @@ def minhash_stream_buckets(
     signature string for the est_jaccard column and an ingest timestamp
     (epoch seconds; 0 when ``ts_col`` is None) for retention. Pure
     Catalyst, so it runs unchanged on a readStream source."""
-    ts = F.col(ts_col).cast("bigint") if ts_col else F.lit(0).cast("bigint")
+    # null ingest ts coalesces to 0 = infinitely old: immediately outside
+    # any retention window, never poisons int() in the matcher
+    ts = (
+        F.coalesce(F.col(ts_col).cast("bigint"), F.lit(0).cast("bigint"))
+        if ts_col
+        else F.lit(0).cast("bigint")
+    )
     # same tokenize chain as the batch operator (dedup.tokens_col +
     # array_distinct — the _distinct_tokens_first projection, widened by
     # the ts column)
@@ -104,12 +116,16 @@ def make_bucket_matcher(
     bucket's retained members, then joins the membership (up to the
     cap). With ``retention_seconds`` set, members whose ingest timestamp
     falls outside ``new_doc.ts - retention`` are EVICTED before pairing
-    — EVENT-TIME retention: dedup against the trailing-T ingest window,
-    the bound that keeps total state proportional to ingest-rate × T
-    instead of corpus size at 100 TB. Data-driven and deterministic (no
-    wall clock, no Spark timers — ProcessingTimeTimeout never terminates
-    under availableNow in this Spark build, verified empirically).
-    Default (None) retains members forever: exact batch parity."""
+    — EVENT-TIME retention: dedup against the trailing-T ingest window.
+    Data-driven and deterministic (no wall clock, no Spark timers —
+    ProcessingTimeTimeout never terminates under availableNow in this
+    Spark build, verified empirically). Scope of the bound: an ACTIVE
+    bucket's member list stays within its window occupancy; a bucket
+    that stops receiving docs keeps its last members until next touched
+    (there is no timer path to trim cold keys), so total state is
+    bounded by active-bucket occupancy plus the cold buckets' tails —
+    not a strict ingest-rate × T product. Default (None) retains members
+    forever: exact batch parity."""
 
     def match(
         key: Tuple[Any, ...],
@@ -146,6 +162,10 @@ def make_bucket_matcher(
                     cutoff = int(ts) - retention_seconds
                     keep = [i for i, t in enumerate(tss) if t >= cutoff]
                     if len(keep) != len(ids):
+                        # drop evicted ids from `known` too: a recrawl of
+                        # an evicted id later in this batch must re-admit
+                        # and pair, not hit the stale-membership skip
+                        known -= {ids[i] for i in range(len(ids)) if i not in set(keep)}
                         ids = [ids[i] for i in keep]
                         sigs = [sigs[i] for i in keep]
                         tss = [tss[i] for i in keep]
@@ -221,6 +241,12 @@ def run_incremental_dedup_once(
     candidate-pair table (per-band rows; consumers dropDuplicates on
     (id_a, id_b))."""
     from whoiswho_spark.plans.metrics import append_streaming_metrics, new_run_id
+
+    if metrics_dir is not None:
+        # recentProgress keeps only the last N events (default 100); the
+        # per-micro-batch counters contract needs every batch (session-
+        # wide setting, read at query start)
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
 
     stream = (
         spark.readStream.schema(schema)

@@ -146,6 +146,12 @@ def run_incremental_er_once(
     Returns the full assignment table."""
     from whoiswho_spark.plans.metrics import append_streaming_metrics, new_run_id
 
+    if metrics_dir is not None:
+        # recentProgress keeps only the last N events (default 100); the
+        # per-micro-batch counters contract needs every batch (session-
+        # wide setting, read at query start)
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
