@@ -814,13 +814,20 @@ def _q_bond_threshold_edges(spark, sf):
 def _q_incremental_er(spark, sf):
     """Streaming incremental ER (custom stateful operator,
     applyInPandasWithState): documents drained as a file stream, pages
-    assigned to existing clusters held in per-block group state or
-    founding new ones. Genuinely non-SQL-expressible (stateful streaming)
-    → rows-only check."""
+    scored against every stored member per block, attached to the argmax
+    member's cluster above threshold (AutoTrainSND.py:163-206 attach
+    rules) with transitive cluster MERGE — so the final partition equals
+    the connected components of the ≥0.5 tanimoto graph for any arrival
+    order. Output is that partition canonicalized to the min member url,
+    which IS SQL-expressible: the oracle recomputes the components with
+    a DuckDB recursive CTE."""
     import tempfile
 
     from whoiswho_spark.operators.dedup import tokens_col
-    from whoiswho_spark.streaming.incremental_er import incremental_er_stream
+    from whoiswho_spark.streaming.incremental_er import (
+        canonical_partition,
+        incremental_er_stream,
+    )
 
     # the file stream source needs a DIRECTORY; the sf tables are single
     # parquet files → stage a multi-file copy (4 files = several
@@ -850,7 +857,7 @@ def _q_incremental_er(spark, sf):
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).select("url", "block_key", "cluster_id", "is_new")
+    return canonical_partition(spark.table(name))
 
 
 def _q_gbdt_scores(spark, sf):
@@ -1593,7 +1600,36 @@ def oracle_sql() -> dict[str, str]:
             where rk <= 5
         """,
         "gbdt_scores": _dd_gbdt_sql(),
-        # incremental_er: stateful streaming (applyInPandasWithState) —
-        # non-SQL-expressible → rows-only (stateful semantics
-        # pytest-checked in tests/test_streaming_incremental_er.py).
+        # incremental_er: the streaming assigner's merge rule makes its
+        # final partition EXACTLY the connected components of the ≥0.5
+        # tanimoto graph within blocks (order-independent; see
+        # streaming/incremental_er.py docstring), so the oracle is an
+        # independent recursive-CTE transitive closure canonicalized to
+        # the min member url. Tanimoto = |∩|/|∪| over distinct
+        # whitespace tokens; both engines compare the same exact IEEE
+        # double (integer ÷ integer), so no rounding is needed at the
+        # threshold.
+        "incremental_er": f"""
+            with recursive t as (
+                select source as block, cast(doc_id as varchar) as url,
+                       list_distinct({toks}) as toks
+                from documents),
+            e as (
+                select a.block, a.url as src, b.url as dst
+                from t a join t b
+                  on a.block = b.block and a.url <> b.url
+                where (len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks))) > 0
+                  and len(list_intersect(a.toks, b.toks))::double
+                      / (len(a.toks) + len(b.toks)
+                         - len(list_intersect(a.toks, b.toks))) >= 0.5),
+            reach(src, dst) as (
+                select url, url from t
+                union
+                select r.src, e.dst from reach r join e on r.dst = e.src),
+            part as (
+                select src as url, min(dst) as cluster from reach group by src)
+            select t.url, t.block as block_key, part.cluster
+            from t join part on t.url = part.url
+        """,
     }

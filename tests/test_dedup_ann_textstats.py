@@ -462,6 +462,40 @@ def test_ngram_prefix_plan_random_corpora_parity(spark):
         assert a == b, (trial, tau, a ^ b)
 
 
+def test_ngram_prefix_boundary_threshold_parity(spark):
+    """Thresholds whose float product lands one ULP above the exact
+    rational (0.28·25 → 7.000000000000001; same family at 0.56) used to
+    shrink the prefix by one token via the raw float ceil. The integer-
+    safe ceil (round-to-9dp first) keeps the prefix bound exact; gate:
+    plan parity on corpora pinned to the affected sizes (25/50 tokens)
+    with overlap families straddling the τ boundary."""
+    import random
+
+    from whoiswho_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(60)]
+    for tau in (0.28, 0.56):
+        rows = []
+        base = rng.sample(vocab, 25)
+        for i in range(30):
+            # doc sizes pinned to 25/50-token shapes around the boundary
+            sz = rng.choice((25, 25, 50, 20, 8))
+            keep = rng.randint(max(1, sz - 8), sz)
+            toks = base[: min(keep, 25)] + rng.sample(vocab, max(0, sz - keep))
+            rows.append((i, "b", " ".join(dict.fromkeys(toks))))
+        df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+        a = {(r["id_a"], r["id_b"], r["jaccard"])
+             for r in ngram_jaccard_pairs(df, "source", threshold=tau).collect()}
+        b = {(r["id_a"], r["id_b"], r["jaccard"])
+             for r in ngram_jaccard_pairs_prefix(df, "source", threshold=tau).collect()}
+        assert a == b, (tau, a ^ b)
+        assert len(a) > 0, tau  # the boundary families must actually pair
+
+
 def test_sharded_ann_random_shapes_parity(spark):
     """Random shard counts (incl. P > distinct shards and P=1) against the
     join-plan near-dup operator and the windowed exact top-k."""
@@ -559,3 +593,26 @@ def test_score_pairs_memo_not_shared_across_namespaced_sides(spark):
         pairs, id_a="url_new", id_b="url_prof", memo_shared_ids=True
     ).collect()[0]
     assert r2["f_text_tanimoto"] == 1.0
+
+
+def test_sharded_ann_string_ids(spark):
+    """The sharded plans derive their output id type from the input
+    schema — string-keyed corpora (urls) must work end-to-end, with the
+    tie-break on the string's natural order."""
+    from whoiswho_spark.operators.ann import sharded_neardup_pairs, sharded_topk
+
+    rs = np.random.RandomState(5)
+    vecs = rs.randn(20, 6)
+    vecs[3] = vecs[7]  # exact dup pair for the near-dup path
+    df = spark.createDataFrame(
+        [(f"url{i:02d}", [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id string, embedding array<double>",
+    )
+    top = sharded_topk(df, df, k=3, n_shards=3)
+    rows = top.collect()
+    assert {type(r["query_id"]) for r in rows} == {str}
+    assert all(r["rank"] <= 3 for r in rows)
+    assert len({r["query_id"] for r in rows}) == 20
+    nd = sharded_neardup_pairs(df, threshold=0.999, n_shards=3).collect()
+    assert ("url03", "url07") in {(r["id_a"], r["id_b"]) for r in nd}
+    assert all(r["id_a"] < r["id_b"] for r in nd)

@@ -1,5 +1,8 @@
-"""Stateful streaming incremental ER: cluster registry as group state,
-carried across micro-batches (applyInPandasWithState)."""
+"""Stateful streaming incremental ER: member registry as group state,
+carried across micro-batches (applyInPandasWithState). Attach = argmax
+member above threshold + transitive cluster merge (AutoTrainSND.py:
+163-206), so the final partition equals batch connected components —
+gated here by the batch-parity test."""
 
 import os
 import time
@@ -36,7 +39,7 @@ def test_incremental_er_state_carries_across_microbatches(spark, tmp_path):
 
     out = run_incremental_er_once(spark, src, ckpt, name="inc_er_t1", threshold=0.5)
     rows = {r["url"]: r for r in out.collect()}
-    assert len(rows) == 6
+    assert len(rows) == 6  # no merges in this corpus → one event per url
 
     # batch 1: A1 founds the cluster (url order), A2 attaches, B1 founds
     assert rows["A1"]["is_new"] and rows["A1"]["cluster_id"] == "A1"
@@ -123,3 +126,138 @@ def test_incremental_er_multi_chunk_group_deterministic(spark, tmp_path):
             assert c == min(ms), (c, min(ms))
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_incremental_er_merges_clusters_transitively(spark, tmp_path):
+    """Two clusters form from mutually-dissimilar seeds; a later bridge
+    page is above threshold to members of BOTH — the assigner must merge
+    them (re-emitting the losers as correction events), so the final
+    partition is the connected component, not the greedy split."""
+    from whoiswho_spark.streaming.incremental_er import (
+        canonical_partition,
+        final_assignments,
+        run_incremental_er_once,
+    )
+
+    src = str(tmp_path / "pages_merge")
+    ckpt = str(tmp_path / "ckpt_merge")
+    # A: {a b c d}, B: {w x y z} — tanimoto(A,B)=0 → two clusters.
+    # Bridge M: {a b c d w x y z} → tan(M,A)=tan(M,B)=0.5 ≥ τ → merge.
+    spark.createDataFrame(
+        [
+            ("pA", "blk", ["a", "b", "c", "d"]),
+            ("pB", "blk", ["w", "x", "y", "z"]),
+        ],
+        "url string, block_key string, toks array<string>",
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [("pM", "blk", ["a", "b", "c", "d", "w", "x", "y", "z"])],
+        "url string, block_key string, toks array<string>",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    events = run_incremental_er_once(
+        spark, src, ckpt, name="inc_er_merge", threshold=0.5
+    )
+    ev = sorted(events.collect(), key=lambda r: r["seq"])
+    # 3 assignment events + 1 correction (the losing cluster's member)
+    assert len(ev) == 4
+    fin = {r["url"]: r["cluster_id"] for r in final_assignments(events).collect()}
+    assert len(set(fin.values())) == 1  # one merged cluster
+    part = {(r["url"], r["cluster"]) for r in canonical_partition(events).collect()}
+    assert part == {("pA", "pA"), ("pB", "pA"), ("pM", "pA")}
+
+
+def test_incremental_er_matches_batch_partition(spark, tmp_path):
+    """THE batch-parity gate: drain the sf0.001 documents corpus through
+    the stateful assigner, canonicalize cluster ids to the min member,
+    and assert set-equality with the batch pipeline's partition
+    (tanimoto-threshold edges + large-star/small-star connected
+    components) on the same blocks/threshold. The merge rule makes the
+    streaming partition the components of the ≥τ graph for ANY
+    micro-batch split, so this holds for the arbitrary repartition(4)
+    file layout."""
+    from pyspark.sql import functions as F
+
+    from whoiswho_spark.functions.similarity import tanimoto_col
+    from whoiswho_spark.operators.clustering import (
+        connected_components,
+        threshold_edges,
+    )
+    from whoiswho_spark.operators.dedup import tokens_col
+    from whoiswho_spark.streaming.incremental_er import (
+        canonical_partition,
+        run_incremental_er_once,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("source").alias("block_key"),
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    )
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    events = run_incremental_er_once(
+        spark, src, str(tmp_path / "ckpt_parity"), name="inc_er_parity",
+        threshold=0.5,
+    )
+    stream_part = {
+        (r["url"], r["cluster"])
+        for r in canonical_partition(events).collect()
+    }
+
+    a = docs.select(
+        F.col("block_key"), F.col("url").alias("url_a"), F.col("toks").alias("ta")
+    )
+    b = docs.select(
+        F.col("block_key"), F.col("url").alias("url_b"), F.col("toks").alias("tb")
+    )
+    scored = (
+        a.join(b, "block_key")
+        .where(F.col("url_a") < F.col("url_b"))
+        .select(
+            "url_a", "url_b",
+            tanimoto_col(F.col("ta"), F.col("tb")).alias("score"),
+        )
+    )
+    edges = threshold_edges(scored, threshold=0.5)
+    cc = connected_components(edges, vertices=docs.select("url"))
+    batch_part = {(r["url"], r["cluster_id"]) for r in cc.collect()}
+
+    assert len(stream_part) == docs.count()
+    assert stream_part == batch_part
+
+
+def test_incremental_er_member_cap_bounds_state(spark, tmp_path):
+    """max_block_members: beyond the cap new pages are still assigned and
+    emitted but NOT stored, so later pages cannot attach to uncapped
+    members — per-batch cost and state stay O(cap) and the partition is
+    a refinement of CC above the cap (documented caveat)."""
+    from whoiswho_spark.streaming.incremental_er import (
+        final_assignments,
+        run_incremental_er_once,
+    )
+
+    src = str(tmp_path / "pages_cap")
+    rows = [
+        # c00/c01 fill the cap; c02 is dissimilar → new cluster, unstored
+        ("c00", "blk", ["a", "b", "c", "d"]),
+        ("c01", "blk", ["a", "b", "c", "e"]),
+        ("c02", "blk", ["q", "r", "s", "t"]),
+        # c03 matches ONLY the uncapped c02 (tan=0.6) — with the cap it
+        # must found its own cluster; without the cap it would attach
+        ("c03", "blk", ["q", "r", "s", "z"]),
+    ]
+    spark.createDataFrame(
+        rows, "url string, block_key string, toks array<string>"
+    ).coalesce(1).write.mode("append").parquet(src)
+    events = run_incremental_er_once(
+        spark, src, str(tmp_path / "ckpt_cap"), name="inc_er_cap",
+        threshold=0.5, max_block_members=2,
+    )
+    fin = {r["url"]: r for r in final_assignments(events).collect()}
+    assert len(fin) == 4
+    assert fin["c01"]["cluster_id"] == "c00" and not fin["c01"]["is_new"]
+    assert fin["c02"]["cluster_id"] == "c02" and fin["c02"]["is_new"]
+    # the cap kept c02 out of the registry → c03 can't see it
+    assert fin["c03"]["cluster_id"] == "c03" and fin["c03"]["is_new"]

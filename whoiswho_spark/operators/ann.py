@@ -212,11 +212,15 @@ def sharded_topk(
                 out["cos"].append(float(row[j]))
         return pd.DataFrame(out)
 
+    # id type follows the input schema (string-keyed corpora serialize
+    # through Arrow exactly like bigint ones; the tie-break order is the
+    # column type's natural order on both sides)
+    _idt = corpus.schema[id_col].dataType.simpleString()
     cands = (
         c.unionByName(q)
         .groupBy("_shard")
         .applyInPandas(
-            shard_topk, schema="query_id bigint, neighbor_id bigint, cos double"
+            shard_topk, schema=f"query_id {_idt}, neighbor_id {_idt}, cos double"
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -286,10 +290,11 @@ def sharded_neardup_pairs(
         hi = np.maximum(a_ids[ii], b_ids[jj])
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": sims[ii, jj]})
 
+    _idt = vectors.schema[id_col].dataType.simpleString()
     return (
         a_side.unionByName(b_side)
         .groupBy("_bi", "_bj")
-        .applyInPandas(block_pairs, schema="id_a bigint, id_b bigint, cos double")
+        .applyInPandas(block_pairs, schema=f"id_a {_idt}, id_b {_idt}, cos double")
     )
 
 

@@ -295,8 +295,20 @@ def ngram_jaccard_pairs_prefix(
             ).alias("ordered")
         )
     )
+    # ⌈τ·sz⌉ in integer-safe form: the raw double product can land one ULP
+    # ABOVE the exact rational (0.28·25 → 7.000000000000001), which would
+    # ceil to 8 and shrink the prefix by one token — dropping exact-
+    # boundary pairs and breaking the result-identical claim vs the block
+    # plan for non-default thresholds. Rounding to 9 decimals first
+    # restores the exact value (token counts are far below 10^9, so the
+    # round can never cross a true non-integer boundary).
     prefix_len = F.greatest(
-        F.lit(1), (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+        F.lit(1),
+        (
+            F.col("sz")
+            - F.ceil(F.round(F.lit(threshold) * F.col("sz"), 9))
+            + 1
+        ).cast("int"),
     )
     prefixes = ranked.select(
         "block",

@@ -140,9 +140,31 @@ def append_streaming_metrics(
     numRecentProgressUpdates`` events (default 100) — the run_*_once
     helpers raise it before starting when a metrics_dir is passed; for
     hand-rolled long-running queries raise it yourself or attach a
-    StreamingQueryListener."""
+    StreamingQueryListener. A drain with more micro-batches than the cap
+    silently loses the OLDEST batches; that truncation is surfaced here
+    as a loud warning (len(recentProgress) == cap is the tell) so the
+    'every batch' contract can never fail silently."""
+    import warnings
+
+    progress = list(query.recentProgress)
+    try:
+        cap = int(
+            spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+        )
+    except Exception:
+        cap = 100
+    if progress and len(progress) >= cap:
+        warnings.warn(
+            f"streaming metrics for {query.name or query.id}: recentProgress "
+            f"holds {len(progress)} events == the numRecentProgressUpdates "
+            f"cap ({cap}) — the oldest micro-batches' counter rows were "
+            "dropped; raise the cap (or attach a StreamingQueryListener) "
+            "for a complete metrics table",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     rows = []
-    for p in query.recentProgress:
+    for p in progress:
         state = p.get("stateOperators") or []
         state_rows = sum(int(s.get("numRowsTotal", 0)) for s in state)
         sink_rows = int((p.get("sink") or {}).get("numOutputRows", -1))

@@ -242,48 +242,58 @@ def run_incremental_dedup_once(
     (id_a, id_b))."""
     from whoiswho_spark.plans.metrics import append_streaming_metrics, new_run_id
 
+    prev_cap = None
     if metrics_dir is not None:
         # recentProgress keeps only the last N events (default 100); the
         # per-micro-batch counters contract needs every batch (session-
-        # wide setting, read at query start)
+        # wide setting, read at query start; restored after the drain)
+        prev_cap = spark.conf.get(
+            "spark.sql.streaming.numRecentProgressUpdates", "100"
+        )
         spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
-    pairs = incremental_dedup_stream(
-        stream,
-        num_hashes=num_hashes,
-        rows_per_band=rows_per_band,
-        max_bucket_size=max_bucket_size,
-        ts_col=ts_col,
-        retention_seconds=retention_seconds,
-    )
-    if output_dir is not None:
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_dir)
+        )
+        pairs = incremental_dedup_stream(
+            stream,
+            num_hashes=num_hashes,
+            rows_per_band=rows_per_band,
+            max_bucket_size=max_bucket_size,
+            ts_col=ts_col,
+            retention_seconds=retention_seconds,
+        )
+        if output_dir is not None:
+            q = (
+                pairs.writeStream.format("parquet")
+                .queryName(name)
+                .option("path", output_dir)
+                .option("checkpointLocation", checkpoint_dir)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            if metrics_dir is not None:
+                append_streaming_metrics(spark, metrics_dir, run_id or new_run_id(), q)
+            return spark.read.parquet(output_dir)
         q = (
-            pairs.writeStream.format("parquet")
+            pairs.writeStream.format("memory")
             .queryName(name)
-            .option("path", output_dir)
-            .option("checkpointLocation", checkpoint_dir)
             .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
         if metrics_dir is not None:
             append_streaming_metrics(spark, metrics_dir, run_id or new_run_id(), q)
-        return spark.read.parquet(output_dir)
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    if metrics_dir is not None:
-        append_streaming_metrics(spark, metrics_dir, run_id or new_run_id(), q)
-    return spark.table(name)
+        return spark.table(name)
+    finally:
+        if prev_cap is not None:
+            spark.conf.set(
+                "spark.sql.streaming.numRecentProgressUpdates", prev_cap
+            )

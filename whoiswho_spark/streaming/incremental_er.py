@@ -8,36 +8,63 @@ micro-batch assigns them to existing entity clusters or mints new ones,
 with the cluster registry held as OPERATOR STATE — a custom stateful
 operator via ``applyInPandasWithState``.
 
+Attach semantics mirror the reference's post_match rules
+(/root/reference/whoiswho/training/AutoTrainSND.py:163-206): an incoming
+page is scored against EVERY stored member (not a cluster leader), joins
+the argmax member's cluster when the best score clears the threshold
+(``pred[i] = pred[j]`` of the argmax j), and ALL clusters holding a
+member above threshold are merged into the winner — the streaming form
+of the reference's outlier-outlier transitive chaining
+(``pred[j] = pred[i]`` for every above-threshold pair, AutoTrainSND.py:
+199-206). Merging makes the FINAL PARTITION exactly the connected
+components of the ≥-threshold tanimoto graph, for ANY arrival order /
+micro-batch split — the same partition the batch pipeline computes with
+threshold_edges + connected_components. That equivalence is the
+operator's correctness contract (oracle-checked: the DuckDB twin
+computes the components with a recursive CTE; pytest
+test_incremental_er_matches_batch_partition drives the batch operators).
+
 Shape and scale notes:
 - state is keyed by ``block_key`` (the same LSH/host blocking key the
-  batch pipeline shuffles on), so state size per key is bounded by the
-  block-cap discipline, and the shuffle is the one Spark already does to
-  co-locate a key's rows with its state.
-- each cluster is represented by its FIRST member's token set (leader
-  representative — deterministic, O(1) state growth per cluster; the
-  batch pipeline's transitive closure is the offline compaction step).
+  batch pipeline shuffles on); the shuffle is the one Spark already does
+  to co-locate a key's rows with its state.
+- state holds one row per MEMBER (url, token string, cluster id) —
+  bounded by ``max_block_members`` (the incremental_dedup
+  max_bucket_size discipline): beyond the cap new pages are still
+  assigned and emitted, but not stored, so they cannot attract future
+  attachments and per-batch cost stays O(cap). CC-parity is exact below
+  the cap; above it the partition is a refinement (documented caveat,
+  cap lifted at test scale).
+- cluster merges re-emit the relabeled members as correction events;
+  every event carries a per-block ``seq`` so the LAST event per url is
+  its final assignment (``final_assignments``) — the append-mode log
+  stays valid for the parquet sink / checkpoint-recovery lineage
+  contract.
 - within a micro-batch rows are processed in url order → deterministic
-  assignments for a given file/batch split.
-- new pages attach to the best-scoring representative with token-set
-  Tanimoto ≥ threshold (AutoTrainSND's tanimoto, the same scorer the
-  flagship uses), else they found a new cluster labeled by their url.
+  assignments for a given file/batch split (the partition itself is
+  order-independent; scores/labels of individual events are not).
 """
 
 from __future__ import annotations
 
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
+from pyspark.sql.window import Window
 
 OUTPUT_SCHEMA = (
     "url string, block_key string, cluster_id string, "
-    "matched_score double, is_new boolean"
+    "matched_score double, is_new boolean, seq bigint"
 )
-# reps stored as space-joined sorted token strings (flat state schema)
-STATE_SCHEMA = "ids array<string>, reps array<string>"
+# one entry per member: url, space-joined sorted token string, cluster id
+STATE_SCHEMA = (
+    "urls array<string>, reps array<string>, cids array<string>, seq bigint"
+)
 
 
 def _tanimoto(a: set, b: set) -> float:
@@ -45,9 +72,9 @@ def _tanimoto(a: set, b: set) -> float:
     return len(a & b) / u if u else 0.0
 
 
-def make_assigner(threshold: float = 0.5):
-    """Build the per-group stateful assigner (threshold rides the
-    closure, like a broadcast scalar)."""
+def make_assigner(threshold: float = 0.5, max_block_members: int | None = None):
+    """Build the per-group stateful assigner (threshold and cap ride the
+    closure, like broadcast scalars)."""
 
     def assign(
         key: Tuple[Any, ...],
@@ -56,22 +83,33 @@ def make_assigner(threshold: float = 0.5):
     ) -> Iterator[pd.DataFrame]:
         block_key = key[0]
         if state.exists:
-            ids, reps = state.get
-            ids, reps = list(ids), list(reps)
+            urls, reps, cids, seq = state.get
+            urls, reps, cids, seq = list(urls), list(reps), list(cids), int(seq)
         else:
-            ids, reps = [], []
+            urls, reps, cids, seq = [], [], [], 0
         rep_sets = [set(r.split(" ")) if r else set() for r in reps]
 
         out = {
             "url": [], "block_key": [], "cluster_id": [],
-            "matched_score": [], "is_new": [],
+            "matched_score": [], "is_new": [], "seq": [],
         }
+
+        def emit(url: str, cid: str, score: float, is_new: bool) -> None:
+            nonlocal seq
+            out["url"].append(url)
+            out["block_key"].append(block_key)
+            out["cluster_id"].append(cid)
+            out["matched_score"].append(score)
+            out["is_new"].append(is_new)
+            out["seq"].append(seq)
+            seq += 1
+
         # materialize ALL Arrow chunks before sorting: a group larger
         # than one Arrow batch arrives as several frames whose order is
         # shuffle-dependent — sorting each chunk independently would
         # break the documented processed-in-url-order determinism.
         # Memory is bounded by the group (this stateful op already holds
-        # the group's cluster registry).
+        # the group's member registry).
         chunks = list(pdfs)
         whole = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
         if len(whole):
@@ -79,47 +117,92 @@ def make_assigner(threshold: float = 0.5):
             for url, toks in zip(pdf["url"], pdf["toks"]):
                 ts = set(toks) if toks is not None else set()
                 best_i, best_s = -1, -1.0
+                qual_cids: set[str] = set()
                 for i, rs in enumerate(rep_sets):
                     s = _tanimoto(ts, rs)
-                    if s > best_s:
+                    if s >= threshold:
+                        qual_cids.add(cids[i])
+                    # reference argmax (first max index); members are in
+                    # insertion order, ties broken by smaller url below
+                    if s > best_s or (s == best_s and best_i >= 0 and urls[i] < urls[best_i]):
                         best_i, best_s = i, s
                 if best_i >= 0 and best_s >= threshold:
-                    cid, score, is_new = ids[best_i], best_s, False
+                    cid, score, is_new = cids[best_i], best_s, False
+                    losers = qual_cids - {cid}
+                    if losers:
+                        # transitive merge: relabel every member of the
+                        # other qualifying clusters and re-emit them as
+                        # correction events (newer seq wins per url)
+                        for i, member in enumerate(urls):
+                            if cids[i] in losers:
+                                cids[i] = cid
+                                emit(member, cid, float("nan"), False)
                 else:
                     cid, score, is_new = url, 1.0, True
-                    ids.append(url)
+                if max_block_members is None or len(urls) < max_block_members:
+                    urls.append(url)
                     reps.append(" ".join(sorted(ts)))
+                    cids.append(cid)
                     rep_sets.append(ts)
-                out["url"].append(url)
-                out["block_key"].append(block_key)
-                out["cluster_id"].append(cid)
-                out["matched_score"].append(float(score))
-                out["is_new"].append(is_new)
-        state.update((ids, reps))
+                emit(url, cid, float(score), is_new)
+        state.update((urls, reps, cids, seq))
         yield pd.DataFrame(out)
 
     return assign
 
 
 def incremental_er_stream(
-    pages: DataFrame, threshold: float = 0.5
+    pages: DataFrame,
+    threshold: float = 0.5,
+    max_block_members: int | None = None,
 ) -> DataFrame:
     """pages stream (url, block_key, toks ARRAY<STRING>) →
-    (url, block_key, cluster_id, matched_score, is_new) append stream.
+    (url, block_key, cluster_id, matched_score, is_new, seq) append
+    stream of ASSIGNMENT EVENTS (merge corrections re-emit members with
+    a newer seq; reduce with ``final_assignments``).
 
-    The cluster registry lives in per-block-key group state and persists
+    The member registry lives in per-block-key group state and persists
     across micro-batches (and across restarts via the checkpoint dir).
     """
     return (
         pages.groupBy("block_key")
         .applyInPandasWithState(
-            make_assigner(threshold),
+            make_assigner(threshold, max_block_members),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def final_assignments(events: DataFrame) -> DataFrame:
+    """Reduce the assignment-event log to the final row per url (the
+    newest seq wins — merge corrections supersede earlier labels)."""
+    w = Window.partitionBy("url").orderBy(F.desc("seq"))
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "seq")
+    )
+
+
+def canonical_partition(events: DataFrame) -> DataFrame:
+    """(url, block_key, cluster) with cluster canonicalized to the
+    MIN MEMBER url — the arrival-order-independent form of the final
+    partition (equals the batch threshold-graph connected components;
+    see module docstring)."""
+    fin = final_assignments(events)
+    # rename the grouping key before the self-join so the two branches of
+    # the plan don't share the cluster_id attribute (analyzer conflict)
+    canon = (
+        fin.select(F.col("cluster_id").alias("_cid"), "url")
+        .groupBy("_cid")
+        .agg(F.min("url").alias("cluster"))
+    )
+    return fin.join(
+        canon, fin["cluster_id"] == canon["_cid"]
+    ).select("url", "block_key", "cluster")
 
 
 def run_incremental_er_once(
@@ -130,6 +213,7 @@ def run_incremental_er_once(
     threshold: float = 0.5,
     schema: str | StructType = "url string, block_key string, toks array<string>",
     max_files_per_trigger: int = 1,
+    max_block_members: int | None = None,
     output_dir: str | None = None,
     metrics_dir: str | None = None,
     run_id: str | None = None,
@@ -143,44 +227,55 @@ def run_incremental_er_once(
     Pass ``metrics_dir`` to append per-micro-batch counters (input/
     output/state rows, batch wall) to the streaming metrics table — the
     north rule's lineage contract applied to the stateful operator.
-    Returns the full assignment table."""
+    Returns the full assignment-EVENT table (reduce with
+    ``final_assignments``)."""
     from whoiswho_spark.plans.metrics import append_streaming_metrics, new_run_id
 
+    prev_cap = None
     if metrics_dir is not None:
         # recentProgress keeps only the last N events (default 100); the
         # per-micro-batch counters contract needs every batch (session-
-        # wide setting, read at query start)
+        # wide setting, read at query start; restored after the drain)
+        prev_cap = spark.conf.get(
+            "spark.sql.streaming.numRecentProgressUpdates", "100"
+        )
         spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
-    assigned = incremental_er_stream(stream, threshold)
-    if output_dir is not None:
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_dir)
+        )
+        assigned = incremental_er_stream(stream, threshold, max_block_members)
+        if output_dir is not None:
+            q = (
+                assigned.writeStream.format("parquet")
+                .queryName(name)
+                .option("path", output_dir)
+                .option("checkpointLocation", checkpoint_dir)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            if metrics_dir is not None:
+                append_streaming_metrics(spark, metrics_dir, run_id or new_run_id(), q)
+            return spark.read.parquet(output_dir)
         q = (
-            assigned.writeStream.format("parquet")
+            assigned.writeStream.format("memory")
             .queryName(name)
-            .option("path", output_dir)
-            .option("checkpointLocation", checkpoint_dir)
             .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
         if metrics_dir is not None:
             append_streaming_metrics(spark, metrics_dir, run_id or new_run_id(), q)
-        return spark.read.parquet(output_dir)
-    q = (
-        assigned.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    if metrics_dir is not None:
-        append_streaming_metrics(spark, metrics_dir, run_id or new_run_id(), q)
-    return spark.table(name)
+        return spark.table(name)
+    finally:
+        if prev_cap is not None:
+            spark.conf.set(
+                "spark.sql.streaming.numRecentProgressUpdates", prev_cap
+            )
