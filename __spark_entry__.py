@@ -358,10 +358,13 @@ def _q_events_hourly(spark, sf):
 
 
 def _q_simhash_pairs(spark, sf):
-    """SimHash near-dups (pandas UDF; no SQL oracle — rows-only check)."""
-    from whoiswho_spark.operators.dedup import simhash_dup_pairs
+    """SimHash near-dups via the pigeonhole chunk-bucket plan (candidates
+    meet on (block, chunk_idx, chunk_value), never the quadratic block
+    self-join) — result-identical to the block plan (pytest-gated) and
+    bit-parity-checked against the independent DuckDB simhash oracle."""
+    from whoiswho_spark.operators.dedup import simhash_dup_pairs_bucketed
 
-    return simhash_dup_pairs(
+    return simhash_dup_pairs_bucketed(
         _t(spark, sf, "documents"), block_col="source", max_hamming=16
     )
 

@@ -616,3 +616,41 @@ def test_sharded_ann_string_ids(spark):
     nd = sharded_neardup_pairs(df, threshold=0.999, n_shards=3).collect()
     assert ("url03", "url07") in {(r["id_a"], r["id_b"]) for r in nd}
     assert all(r["id_a"] < r["id_b"] for r in nd)
+
+
+def test_simhash_bucketed_plan_matches_block_plan(spark):
+    """The pigeonhole chunk-bucket join is an exact physical rewrite of
+    the quadratic block self-join: identical (pair, hamming) sets across
+    hamming bounds and chunk counts — including k=0 (exact simhash
+    match), oversplit chunks, and the k=64 degenerate all-pairs bound."""
+    import random
+
+    from whoiswho_spark.operators.dedup import (
+        simhash_dup_pairs,
+        simhash_dup_pairs_bucketed,
+    )
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(50):
+        # families of near-identical docs → small hamming distances
+        fam = rng.randrange(8)
+        base = vocab[fam * 5 : fam * 5 + 5] + rng.sample(vocab, rng.randint(0, 2))
+        rows.append((i, rng.choice("ab"), " ".join(base)))
+    rows += [(100, "a", rows[0][2]), (101, "a", rows[1][2])]  # exact dups
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+    for k, n_chunks in ((0, None), (3, None), (3, 8), (16, None), (64, None)):
+        a = {(r["block"], r["id_a"], r["id_b"], r["hamming"])
+             for r in simhash_dup_pairs(df, "source", max_hamming=k).collect()}
+        b = {(r["block"], r["id_a"], r["id_b"], r["hamming"])
+             for r in simhash_dup_pairs_bucketed(
+                 df, "source", max_hamming=k, n_chunks=n_chunks).collect()}
+        assert a == b, (k, n_chunks, a ^ b)
+    assert len(a) > 0  # the k=64 sweep pairs everything within blocks
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_dup_pairs_bucketed(df, "source", max_hamming=3, n_chunks=2)

@@ -265,3 +265,61 @@ def test_rnd_fuzzy_fallback_resolves_nickname_titles(spark):
     ).collect()
     assert len(fuzzy) == 1
     assert fuzzy[0]["url"] == "n1" and fuzzy[0]["cluster_id"] == "C_SMITH"
+
+
+def test_rnd_fuzzy_fallback_head_token_bounded(spark):
+    """A head token shared by every profile ('smith') must NOT form a
+    quadratic meet group: with the df bound, pages meet profiles only on
+    rare tokens or the exact normalized name. Gates both the pair-count
+    bound and that rare-token recall survives."""
+    from whoiswho_spark.plans.rnd_pipeline import assign_pages
+
+    def payload(url, title, toks, emb):
+        return (url, title, toks, toks * 2, emb)
+
+    schema = (
+        "url string, title string, title_tokens array<string>, "
+        "text_tokens array<string>, embedding array<double>"
+    )
+    # 400 'smith' profiles with distinct rare given names (test-scale
+    # stand-in for the 10k-smith corpus; the bound is df-based, not
+    # size-based, so the mechanism is identical)
+    profiles = spark.createDataFrame(
+        [
+            payload(f"p{i}", f"given{i:03d} smith research page",
+                    [f"given{i:03d}", "smith"], [1.0, 0.0])
+            for i in range(400)
+        ],
+        schema,
+    )
+    clusters = spark.createDataFrame(
+        [(f"p{i}", f"C{i}") for i in range(400)], "url string, cluster_id string"
+    )
+    new = spark.createDataFrame(
+        [payload("n1", "given007 smith", ["given007", "smith"], [1.0, 0.0])],
+        schema,
+    )
+    # df('smith') = 400 > max_token_df → 'smith' is not a meet key;
+    # 'given007' (df=1) is, so the right profile is still found
+    out = assign_pages(
+        new, profiles, clusters, threshold=0.05, fuzzy_fallback=True,
+        max_token_df=64,
+    ).collect()
+    assert len(out) == 1 and out[0]["cluster_id"] == "C7"
+
+    # bound check: a page whose only SHARED token is the hot one (its
+    # other tokens are unknown to every profile, so its LSH keys miss)
+    # pairs with nobody — 'smith' is df-dropped as a meet key and the
+    # exact-name key differs, so the fallback adds zero of the 400
+    # would-be quadratic candidates
+    lone = spark.createDataFrame(
+        [payload("n2", "zzzz smith yyyy", ["zzzz", "smith", "yyyy"],
+                 [1.0, 0.0])],
+        schema,
+    )
+    assert assign_pages(lone, profiles, clusters, threshold=0.05).collect() == []
+    out2 = assign_pages(
+        lone, profiles, clusters, threshold=0.05, fuzzy_fallback=True,
+        max_token_df=64,
+    ).collect()
+    assert out2 == []  # no rare-token or exact-name meet → NIL, not 400 pairs

@@ -396,10 +396,11 @@ def simhash_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ k within blocks.
-
-    At scale the block would be the top-16-bits bucket (multi-probe);
-    here the caller's block key bounds the join the same way.
+    """Near-dup pairs by SimHash hamming distance ≤ k within blocks —
+    REFERENCE plan (quadratic block self-join). Kept as the equivalence
+    baseline; the contract/scale plan is ``simhash_dup_pairs_bucketed``
+    (result-identical, pytest-gated), whose join meets on bit-chunk
+    buckets instead of whole blocks.
     """
     s = df.select(
         F.col(block_col).alias("block"),
@@ -412,6 +413,102 @@ def simhash_dup_pairs(
     return (
         a.join(b, "block")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("block", "id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def _simhash_chunk_cols(sh: Column, n_chunks: int) -> list[Column]:
+    """Split the 64-bit simhash into ``n_chunks`` contiguous bit spans
+    (widths as equal as 64/n allows). Logical shifts, so the sign bit is
+    just another data bit."""
+    base, extra = divmod(64, n_chunks)
+    cols, off = [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < extra else 0)
+        if w >= 64:
+            # single full-width chunk: the mask 2^64−1 overflows a
+            # signed long literal and is a no-op anyway
+            cols.append(sh)
+        else:
+            cols.append(
+                F.shiftrightunsigned(sh, off).bitwiseAND(F.lit((1 << w) - 1))
+            )
+        off += w
+    return cols
+
+
+def simhash_dup_pairs_bucketed(
+    df: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_chunks: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming ≤ k — THE 100 TB plan,
+    result-identical to ``simhash_dup_pairs`` (pytest-gated, same
+    oracle).
+
+    Pigeonhole multi-probe: split the 64 bits into ``max_hamming + 1``
+    chunks; a pair within hamming k differs in ≤ k chunks, so it agrees
+    EXACTLY on at least one chunk. Candidates therefore meet on
+    (block, chunk_idx, chunk_value) — the standard ≤k-hamming trick —
+    and only candidates pay the XOR/bit_count verify. The quadratic
+    block self-join never materializes: group size is the count of docs
+    sharing one 64/(k+1)-bit span, which for small k (chunks of 16+
+    bits) is ~|block| / 2^16 per bucket on non-degenerate corpora.
+    Boilerplate-heavy corpora can still produce hot chunk buckets
+    (identical simhashes); those pairs ARE the query's answer — the
+    residual quadratic is within true near-dup groups only, the same
+    bound minhash_dup_pairs carries.
+
+    ``n_chunks`` > max_hamming+1 trades more candidate replication for
+    smaller buckets; fewer is invalid (pigeonhole breaks) and raises.
+    """
+    n_chunks = max_hamming + 1 if n_chunks is None else n_chunks
+    if n_chunks < max_hamming + 1:
+        raise ValueError(
+            f"n_chunks={n_chunks} < max_hamming+1={max_hamming + 1}: a pair "
+            "within the hamming bound could differ in every chunk"
+        )
+    n_chunks = min(n_chunks, 64)
+    s = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col),
+        simhash64_udf(F.col(text_col)).alias("sh"),
+    )
+    # the signature table feeds both join sides — materialize the Arrow
+    # UDF output once (same reasoning as minhash_dup_pairs' checkpoint)
+    s = s.localCheckpoint()
+    chunks = _simhash_chunk_cols(F.col("sh"), n_chunks)
+    e = s.select(
+        "block",
+        F.col(id_col),
+        F.col("sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("ci"), ch.alias("cv"))
+                    for c, ch in enumerate(chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select("block", id_col, "sh", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
+    a = e.select(
+        "block", "ci", "cv", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = e.select(
+        "block", "ci", "cv", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["block", "ci", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        # a pair agreeing on several chunks meets several times; dedupe
+        # BEFORE the verify so the shuffle carries id pairs, not matrices
+        .select("block", "id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["block", "id_a", "id_b"])
         .select("block", "id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )

@@ -36,6 +36,7 @@ def assign_pages(
     num_hashes: int = 8,
     bands: int = 4,
     fuzzy_fallback: bool = False,
+    max_token_df: int = 256,
 ) -> DataFrame:
     """(new pages payload, profile payload, clusters(url, cluster_id)) →
     assignments(url, cluster_id, score); pages below threshold are NIL
@@ -47,9 +48,11 @@ def assign_pages(
     resolution (dataset/data_process.py + tool/match_name.py findMain):
     pages whose LSH keys hit NO profile candidate retry with the
     7-matcher name battery (clean_name forms first, then the
-    tokenize_name nickname/initial-expanded forms), bounded by a coarse
-    last-cleaned-token key (the surname analog) so the fuzzy comparison
-    never goes quadratic.
+    tokenize_name nickname/initial-expanded forms). The retry's meet
+    keys are df-bounded — normalized tokens carried by ≤
+    ``max_token_df`` profiles, plus the full normalized name — so the
+    fuzzy comparison never goes quadratic on head tokens (see the
+    inline note).
     """
     # block keys must be built identically for both sides
     def keys(df):
@@ -82,26 +85,50 @@ def assign_pages(
         )
         from whoiswho_spark.functions.name_match import tokenize_name_udf
 
-        # coarse candidate bound: ANY shared normalized token (nickname-
+        # coarse candidate bound: a shared normalized token (nickname-
         # expanded, so 'bill' and 'william smith …' meet on 'william');
         # the battery then decides. Token groups play the role of the
-        # reference's name blocks — bounded join, never quadratic.
-        norm_toks = lambda title: F.split(
-            clean_name_udf(tokenize_name_udf(title)), " "
-        )
+        # reference's name blocks. BOUNDED: a head token ('smith',
+        # 'wang') would form a quadratic group at scale, so meet keys
+        # are df-FILTERED on the profile side (tokens carried by more
+        # than ``max_token_df`` profiles are dropped as keys — the
+        # rare-prefix discipline of dedup.ngram_jaccard_pairs_prefix),
+        # and the FULL normalized name is always a key, so exact-name
+        # pairs survive even when every individual token is hot. Pairs
+        # that share only hot tokens under two different full names are
+        # out of the candidate bound (documented recall trade; the
+        # reference's pretreat blocks by name key the same way).
+        norm_name = lambda title: clean_name_udf(tokenize_name_udf(title))
         fa = unmatched.select(
             F.col("url").alias("url_new"),
             F.col("title").alias("_title_new"),
-            F.explode(norm_toks(F.col("title"))).alias("_k"),
-        ).where(F.length("_k") > 1)
+            norm_name(F.col("title")).alias("_nm"),
+        ).localCheckpoint()  # feeds token + name meets; tiny (unmatched)
         fb = profile_payload.select(
             F.col("url").alias("url_prof"),
             F.col("title").alias("_title_prof"),
-            F.explode(norm_toks(F.col("title"))).alias("_k"),
+            norm_name(F.col("title")).alias("_nm"),
+        ).localCheckpoint()
+        fa_tok = fa.select(
+            "url_new", "_title_new", F.explode(F.split("_nm", " ")).alias("_k")
         ).where(F.length("_k") > 1)
+        fb_tok = fb.select(
+            "url_prof", "_title_prof", F.explode(F.split("_nm", " ")).alias("_k")
+        ).where(F.length("_k") > 1)
+        rare = (
+            fb_tok.groupBy("_k")
+            .agg(F.count_distinct("url_prof").alias("_df"))
+            .where(F.col("_df") <= max_token_df)
+            .select("_k")
+        )
+        cand = fa_tok.join(fb_tok.join(F.broadcast(rare), "_k"), "_k").select(
+            "url_new", "url_prof", "_title_new", "_title_prof"
+        )
+        name_cand = fa.join(fb, "_nm").select(
+            "url_new", "url_prof", "_title_new", "_title_prof"
+        )
         fuzzy_pairs = (
-            fa.join(fb, "_k")
-            .select("url_new", "url_prof", "_title_new", "_title_prof")
+            cand.unionByName(name_cand)
             .distinct()
             .where(
                 names_match_fallback_udf(
