@@ -77,30 +77,19 @@ def test_cleaning_name_cn_planes():
     assert cleaning_name_cn("") == ""
 
 
-def test_cleaning_name_cn_pinyin_branch_with_stub(monkeypatch):
+def test_cleaning_name_cn_pinyin_branch():
     """The mostly-CJK branch (is_chinese.py:30-31: <3 ASCII chars, >1
-    non-ASCII) romanizes via pypinyin when importable — exercised here
-    with an injected stub since the real lib is absent; without it the
-    branch is gated and the NFKD fold drops the CJK plane."""
-    import sys
-    import types
-
+    non-ASCII) romanizes on the VENDORED contract table (functions/
+    pinyin.py; the CJK golden battery in tests/test_cjk_pinyin.py is the
+    full reference-parity gate — this pins the branch routing)."""
     from whoiswho_spark.functions.is_chinese import cleaning_name_cn
 
-    table = {"李": "li", "明": "ming"}
-    fake = types.ModuleType("pypinyin")
-    fake.NORMAL = 0
-    fake.pinyin = lambda word, style=None: [[table[c]] for c in word]
-    monkeypatch.setitem(sys.modules, "pypinyin", fake)
     assert cleaning_name_cn("李明") == "li ming"
-    # force the gated path regardless of whether a real pypinyin exists
-    # in this environment: a None sys.modules entry makes the import
-    # raise ImportError. CJK chars survive the fall-through and — being
-    # isalpha() — the fold keeps them as opaque tokens, exactly the
-    # reference-with-stub regime the goldens are minted in.
-    monkeypatch.setitem(sys.modules, "pypinyin", None)
-    assert cleaning_name_cn("李明") == "李明"
-    # the pinned special-case table bypasses pypinyin entirely
+    # out-of-table CJK chars pass through as opaque isalpha tokens —
+    # honest unknowns, the same shape the reference-with-stub regime
+    # exhibits for characters the table doesn't cover
+    assert cleaning_name_cn("李䶮") == "li 䶮"
+    # the pinned special-case table bypasses the char table entirely
     assert cleaning_name_cn("周晟") == "zhou sheng"
 
 

@@ -62,20 +62,16 @@ def test_match_name_names_wrong_table():
         assert match_name(name, target) is want, (name, target)
 
 
-def test_match_name_cjk_branch_gate():
-    """CJK inputs route to the pinyin branch (ref match_name.py:38-44).
-    With pypinyin importable the romanized concat must equal
-    last_name+first_name; without it the branch returns False (an honest
-    no-claim) instead of falling through to the latin regex chain."""
+def test_match_name_cjk_branch():
+    """CJK inputs route to the pinyin branch (ref match_name.py:38-44):
+    romanized concat (vendored table) must equal last_name+first_name;
+    out-of-table characters can only produce a conservative non-match.
+    The reference-minted battery lives in tests/test_cjk_pinyin.py."""
     from whoiswho_spark.functions.names import match_name
 
-    try:
-        from pypinyin import lazy_pinyin  # noqa: F401
-
-        assert match_name("\u5f20\u6676", "jing_zhang") is True
-        assert match_name("\u5f20\u6676", "wei_wang") is False
-    except ImportError:
-        assert match_name("\u5f20\u6676", "jing_zhang") is False
+    assert match_name("\u5f20\u6676", "jing_zhang") is True  # \u5f20\u6676
+    assert match_name("\u5f20\u6676", "wei_wang") is False
+    assert match_name("\u4e7e\u73ca", "shan_qian") is False  # \u4e7e not in table
     # latin names with stray CJK punctuation are NOT routed to the branch
     assert match_name("Jing Zhang", "jing_zhang") is True
 

@@ -26,15 +26,16 @@ than one char ("full" tokens), then
 Cleaning (is_chinese.py:22-43): split the raw string into its ASCII and
 non-ASCII character planes; three pinyin special-case full names map by
 table; a mostly-non-ASCII name (<3 ASCII chars, >1 non-ASCII) romanizes
-via pypinyin; a mixed name (>3 ASCII, >1 non-ASCII) keeps only the
+via pinyin; a mixed name (>3 ASCII, >1 non-ASCII) keeps only the
 ASCII plane; then unidecode -> lowercase -> alpha-only fold. Parity
 notes: unidecode is absent here -> same NFKD fold as name_match.py;
-pypinyin is absent -> the pinyin branch is gated, and a name that needs
-it falls through with its raw characters (CJK chars are isalpha(), so
-they survive the fold as opaque tokens that hit no table — the same
-behavior the reference-with-stub regime exhibits; the webtext retarget
-never exercises this branch, and goldens are minted pinyin-free, see
-tools/mint_is_chinese_goldens.py).
+pypinyin is absent -> the romanization runs on the VENDORED contract
+table (functions/pinyin.py + data/cjk_pinyin.json; characters outside
+the table survive the fold as opaque tokens that hit no romanization
+table — honest unknowns). CJK goldens are minted from the reference
+with the same table as the package stub
+(tools/mint_cjk_pinyin_goldens.py); the Latin-name goldens remain
+pinyin-free (tools/mint_is_chinese_goldens.py).
 """
 
 from __future__ import annotations
@@ -47,6 +48,8 @@ from functools import lru_cache
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
+
+from whoiswho_spark.functions.pinyin import pinyin_normal
 
 def _load_tables() -> dict:
     """zipimport-safe (spark-submit --py-files ships the package as a
@@ -100,14 +103,10 @@ def cleaning_name_cn(name: str) -> str:
     if cn_name in PINYIN_SPECIAL_CASE:
         name = PINYIN_SPECIAL_CASE[cn_name]
     elif len(en_name) < 3 and len(cn_name) > 1:
-        try:  # optional parity dependency (see module docstring)
-            import pypinyin  # type: ignore
-
-            name = " ".join(
-                "".join(seg) for seg in pypinyin.pinyin(cn_name, style=pypinyin.NORMAL)
-            )
-        except ImportError:
-            pass  # gated: fall through with the raw characters
+        # is_chinese.py:12-19 pinyin() on the vendored contract table
+        # (functions/pinyin.py; pypinyin is absent — goldens minted from
+        # the reference with the same table as the package stub)
+        name = pinyin_normal(cn_name)
     elif len(en_name) > 3 and len(cn_name) > 1:
         name = en_name
     s = _ascii_fold(name).lower()

@@ -4,11 +4,12 @@ get_author_index).
 
 Exposed both as plain Python (unit-testable against reference behavior)
 and as Arrow-batched pandas UDFs for DataFrame use. The reference's
-CJK→pinyin step (is_chinese.py:8-43) depends on ``pypinyin``, absent in
-this environment — ``cleaning_name`` falls back to an NFKD ascii-fold,
-with the pinyin hook gated behind an import-try (parity note in the
-docstring; the webtext retarget replaces the name family with URL/host
-normalization anyway, SURVEY.md §2.2 'Name-matching engine' row).
+CJK→pinyin step (is_chinese.py:8-43) depends on ``pypinyin``/``pinyin``,
+absent in this environment — the romanization runs on the VENDORED
+contract table (functions/pinyin.py + data/cjk_pinyin.json; CJK goldens
+minted from the reference with the same table as the package stub, see
+tools/mint_cjk_pinyin_goldens.py). Characters outside the table pass
+through unchanged: honest unknowns, never a wrong romanization.
 """
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
 from whoiswho_spark.constants import NAMES_WRONG
+from whoiswho_spark.functions.pinyin import has_han, lazy_pinyin, pinyin_get
 
 _NON_ALPHA = re.compile(r"[^a-z]+")
 
@@ -40,22 +42,22 @@ def unify_name_order(name: str) -> tuple[str, str]:
 
 
 def cleaning_name(name: str) -> str:
-    """lowercase → (pinyin if available) → ascii-fold → non-alpha→space →
-    collapse. Reference: is_chinese.py:8-43 (pypinyin NORMAL + unidecode);
-    here NFKD-fold replaces unidecode, pinyin gated on availability."""
+    """lowercase → pinyin → ascii-fold → non-alpha→space → collapse.
+    Reference: is_chinese.py:8-43 (pypinyin NORMAL + unidecode); here
+    NFKD-fold replaces unidecode and the vendored romanization table
+    (functions/pinyin.py, goldens minted from the reference with the
+    same table as the package stub) replaces pypinyin."""
     if name is None:
         return ""
     s = name.lower()
-    try:  # optional parity dependency
-        from pypinyin import lazy_pinyin  # type: ignore
-
-        if any("一" <= ch <= "鿿" for ch in s):
-            s = " ".join(lazy_pinyin(s))
-    except ImportError:
-        pass
+    if has_han(s):
+        s = " ".join(lazy_pinyin(s))
     s = unicodedata.normalize("NFKD", s)
     s = "".join(ch for ch in s if not unicodedata.combining(ch))
-    s = _NON_ALPHA.sub(" ", s)
+    # the reference keeps isalpha() chars, not [a-z] (mind/utils.py:
+    # 84-91): NFKD-surviving letters (ß, out-of-table Han) stay as
+    # opaque tokens instead of vanishing — CJK-golden-gated
+    s = "".join(ch if ch.isalpha() else " " for ch in s)
     return " ".join(s.split())
 
 
@@ -136,14 +138,11 @@ def match_name(name: str, target_name: str) -> bool:
     first_name = first_name.replace("-", "")
     if any("一" <= ch <= "龥" for ch in name):
         # CJK branch (ref match_name.py:38-44): strip to CJK+space,
-        # romanize, compare to last+first concat. Gated on pypinyin —
-        # absent package → no match claim rather than a wrong one.
-        try:  # optional parity dependency
-            from pypinyin import lazy_pinyin  # type: ignore
-        except ImportError:
-            return False
+        # romanize (vendored table — pinyin.get(format='strip') parity;
+        # unknown characters pass through → conservative non-match),
+        # compare to last+first concat.
         cjk = re.sub("[^ 一-龥]", "", name).strip()
-        return "".join(lazy_pinyin(cjk)).replace(" ", "") == last_name + first_name
+        return pinyin_get(cjk).replace(" ", "") == last_name + first_name
     folded = (
         unicodedata.normalize("NFKD", name).encode("ascii", "ignore").decode("ascii")
     )
