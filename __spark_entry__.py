@@ -884,6 +884,50 @@ def _q_gbdt_scores(spark, sf):
     )
 
 
+def _q_rnd_ensemble_scores(spark, sf):
+    """RND trainer orchestration (plans/rnd_train.py — AutoTrainRND
+    fit/predict): two GBDT cells × 3 folds fit on the labeled order
+    table, fold-mean per cell, cell-weight vote, top-1 per customer with
+    the NIL threshold. Fit is the bounded deterministic numpy sample;
+    INFERENCE (fold cascades, vote, window top-1) is pure Catalyst. The
+    vote is rounded to 6dp BEFORE ranking/threshold so the argmax and
+    the NIL gate compare engine-portable values (the oracle re-fits the
+    identical models and compiles them to DuckDB CASE WHEN)."""
+    from whoiswho_spark.operators.gbdt import ensemble_vote_col
+    from whoiswho_spark.operators.rnd import top1_assign
+    from whoiswho_spark.plans.rnd_train import CellConfig, fit_cells, score_cells
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").cast("string").alias("pid"),
+        F.col("o_orderkey").alias("aid"),
+        (F.col("o_totalprice") % 97).alias("f_a"),
+        (F.col("o_custkey") % 13).cast("double").alias("f_b"),
+        F.length("o_orderpriority").cast("double").alias("f_c"),
+        (F.col("o_totalprice") > 150000).cast("double").alias("label"),
+    )
+    cells = [
+        CellConfig("deep", ("f_a", "f_b", "f_c"), 5.0, n_trees=8, max_depth=3),
+        CellConfig("lite", ("f_a", "f_c"), 2.0, n_trees=16, max_depth=2,
+                   learning_rate=0.1),
+    ]
+    fitted = fit_cells(o, cells, k=3)
+    scored = score_cells(o, fitted)
+    voted = scored.withColumn(
+        "vote_score",
+        F.round(
+            ensemble_vote_col(
+                [f"score__{a['cell'].name}" for a in fitted],
+                weights=[a["cell"].cell_weight for a in fitted],
+            ),
+            6,
+        ),
+    )
+    return top1_assign(
+        voted, item_col="pid", cand_col="aid",
+        score_col="vote_score", threshold=0.65,
+    ).select("pid", "aid", "vote_score")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "block_stats": _q_block_stats,
@@ -930,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_er": _q_incremental_er,
         "incremental_dedup": _q_incremental_dedup,
         "gbdt_scores": _q_gbdt_scores,
+        "rnd_ensemble_scores": _q_rnd_ensemble_scores,
     }
 
 
@@ -1155,6 +1200,82 @@ _MEDIA_HEX_CTE = """
              end as hx
       from documents)
 """
+
+
+def _dd_rnd_ensemble_sql() -> str:
+    """DuckDB twin of _q_rnd_ensemble_scores: recompute the fold ids
+    with the same portable md5 hash, re-fit the IDENTICAL per-fold
+    models from the parquet (fit_gbdt_numpy is row-order-invariant; the
+    sample bound covers sf0.01 entirely — same argument as
+    _dd_gbdt_sql), compile every fold cascade to CASE WHEN, then redo
+    the fold mean + cell-weight vote + window top-1 + NIL threshold in
+    SQL on the 6dp-rounded vote."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from whoiswho_spark.operators.gbdt import fit_gbdt_numpy, gbdt_score_sql
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+    )
+    tp = np.asarray(t["o_totalprice"], dtype=np.float64)
+    ck = np.asarray(t["o_custkey"], dtype=np.int64)
+    pr = np.asarray(
+        [len(s) for s in t["o_orderpriority"].to_pylist()], dtype=np.float64
+    )
+    feats = {
+        "f_a": np.fmod(tp, 97.0),
+        "f_b": (ck % 13).astype(np.float64),
+        "f_c": pr,
+    }
+    y = (tp > 150000).astype(np.float64)
+    # hash60(pid, 'kfold') % 3 — pid is cast(o_custkey as string)
+    fold = np.asarray(
+        [
+            int(hashlib.md5(f"{c}:kfold".encode()).hexdigest()[:15], 16) % 3
+            for c in ck
+        ]
+    )
+    feature_sql = {
+        "f_a": "o_totalprice % 97",
+        "f_b": "CAST(o_custkey % 13 AS DOUBLE)",
+        "f_c": "CAST(length(o_orderpriority) AS DOUBLE)",
+    }
+    cells = [  # must mirror _q_rnd_ensemble_scores exactly
+        ("deep", ["f_a", "f_b", "f_c"], 5.0, dict(n_trees=8, max_depth=3)),
+        ("lite", ["f_a", "f_c"], 2.0,
+         dict(n_trees=16, max_depth=2, learning_rate=0.1)),
+    ]
+    cell_exprs, weights = [], []
+    for _name, fcols, w, hp in cells:
+        fold_sqls = []
+        for i in range(3):
+            m = fold != i
+            X = np.column_stack([feats[c][m] for c in fcols])
+            model = fit_gbdt_numpy(X, y[m], fcols, **hp)
+            fold_sqls.append(gbdt_score_sql(model, feature_sql))
+        cell_exprs.append("((" + ") + (".join(fold_sqls) + f")) / 3.0")
+        weights.append(w)
+    total = sum(weights)
+    vote = " + ".join(
+        f"({e}) * {w / total!r}" for e, w in zip(cell_exprs, weights)
+    )
+    return f"""
+        with s as (
+            select cast(o_custkey as varchar) as pid, o_orderkey as aid,
+                   round({vote}, 6) as v
+            from orders)
+        select pid, aid, v as vote_score from (
+            select *, row_number() over
+                (partition by pid order by v desc, aid asc) as rk
+            from s)
+        where rk = 1 and v >= 0.65
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1603,6 +1724,7 @@ def oracle_sql() -> dict[str, str]:
             where rk <= 5
         """,
         "gbdt_scores": _dd_gbdt_sql(),
+        "rnd_ensemble_scores": _dd_rnd_ensemble_sql(),
         # incremental_er: the streaming assigner's merge rule makes its
         # final partition EXACTLY the connected components of the ≥0.5
         # tanimoto graph within blocks (order-independent; see
