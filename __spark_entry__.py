@@ -884,6 +884,40 @@ def _q_gbdt_scores(spark, sf):
     )
 
 
+def _q_ego_graph_features(spark, sf):
+    """Ego-graph relational feature channel (operators/ego_graph.py —
+    graph_features.py:96-180 with the GNN substituted by the embedding
+    kernels per SURVEY §2.8): synthetic authorship (aid = vec_id % 10)
+    over the embeddings table; 20 query vectors × 10 author node sets →
+    max/mean cosine + KNRM kernel 0 (closed form in the oracle)."""
+    from whoiswho_spark.operators.ego_graph import attach_ego_features
+
+    emb = _t(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("url"), "embedding"
+    )
+    mem = emb.select(
+        F.pmod(F.col("url"), F.lit(10)).cast("string").alias("aid"),
+        F.col("url"),
+    )
+    cands = (
+        emb.where("url < 20")
+        .select(F.col("url").alias("pid"))
+        .crossJoin(mem.select("aid").distinct())
+    )
+    out = attach_ego_features(
+        cands, mem, emb, url_col="url", max_author_papers=8
+    )
+    return out.select(
+        "pid",
+        "aid",
+        # 4dp: the pooled sums cross engines with last-ulp drift; 6dp
+        # sits on a rounding boundary for one row at sf0.01
+        F.round("f_ego_max_cos", 4).alias("max_cos"),
+        F.round("f_ego_mean_cos", 4).alias("mean_cos"),
+        F.round(F.element_at("f_ego_knrm", 1), 4).alias("knrm_k0"),
+    )
+
+
 def _q_rnd_ensemble_scores(spark, sf):
     """RND trainer orchestration (plans/rnd_train.py — AutoTrainRND
     fit/predict): two GBDT cells × 3 folds fit on the labeled order
@@ -975,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "gbdt_scores": _q_gbdt_scores,
         "rnd_ensemble_scores": _q_rnd_ensemble_scores,
+        "ego_graph_features": _q_ego_graph_features,
     }
 
 
@@ -1725,6 +1760,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "gbdt_scores": _dd_gbdt_sql(),
         "rnd_ensemble_scores": _dd_rnd_ensemble_sql(),
+        # ego_graph_features: author node sets = min-8-vec_id per (vec_id
+        # % 10) author; kernel 0 closed form as in knrm_features (mu0 =
+        # -0.975, sigma 0.1), pooled over the author's node set
+        "ego_graph_features": """
+            with m as (
+                select cast(vec_id % 10 as varchar) as aid, vec_id, embedding,
+                       row_number() over
+                           (partition by vec_id % 10 order by vec_id) as rn
+                from embeddings),
+            nodes as (select aid, embedding from m where rn <= 8),
+            q as (select vec_id as pid, embedding from embeddings
+                  where vec_id < 20),
+            sc as (select q.pid, n.aid,
+                          list_cosine_similarity(
+                              q.embedding::DOUBLE[], n.embedding::DOUBLE[]
+                          ) as cos
+                   from q cross join nodes n)
+            select pid, aid,
+                   round(max(cos), 4) as max_cos,
+                   round(avg(cos), 4) as mean_cos,
+                   round(ln(1 + sum(exp(
+                       -((cos - (-0.975)) * (cos - (-0.975))) / (2 * 0.1 * 0.1)
+                   ))), 4) as knrm_k0
+            from sc group by pid, aid
+        """,
         # incremental_er: the streaming assigner's merge rule makes its
         # final partition EXACTLY the connected components of the ≥0.5
         # tanimoto graph within blocks (order-independent; see
