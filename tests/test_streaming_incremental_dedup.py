@@ -2,6 +2,7 @@
 as group state carried across micro-batches; streamed candidate-pair set
 must equal the batch minhash_dup_pairs set on the same corpus."""
 
+import os
 import time
 
 
@@ -307,3 +308,66 @@ def test_incremental_dedup_bucket_cap_bounds_state(spark, tmp_path):
         ("d000", "d001"), ("d000", "d002"), ("d001", "d002"),
         ("d000", "d003"), ("d001", "d003"),
     }
+
+
+def test_maintenance_sweep_bounds_state(spark, tmp_path):
+    """Cold-bucket trim: buckets that stop receiving docs keep their
+    tails until touched — a maintenance sweep (sentinel rows touching
+    every known bucket at a late ts) evicts them and REMOVES emptied
+    state rows, so after the sweep the state key count is exactly the
+    within-window buckets (here: zero). The ingest-rate × window bound
+    becomes strict."""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.dedup import minhash_band_buckets
+    from whoiswho_spark.plans.metrics import read_streaming_metrics
+    from whoiswho_spark.streaming.incremental_dedup import (
+        run_incremental_dedup_once,
+    )
+
+    src = str(tmp_path / "docs_m")
+    maint = str(tmp_path / "maint_m")
+    ckpt = str(tmp_path / "ckpt_m")
+    outd = str(tmp_path / "out_m")
+    mdir = str(tmp_path / "metrics_m")
+    os.makedirs(maint, exist_ok=True)  # present-but-empty on drain 1
+
+    docs = [
+        (f"d{i:02d}", f"tok{i % 7} shared alpha beta w{i}", 100 + i)
+        for i in range(20)
+    ]
+    docs_df = spark.createDataFrame(docs, "doc_id string, text string, ts bigint")
+    docs_df.coalesce(1).write.mode("append").parquet(src)
+
+    kw = dict(
+        schema="doc_id string, text string, ts bigint",
+        ts_col="ts", retention_seconds=100,
+        output_dir=outd, metrics_dir=mdir, maintenance_dir=maint,
+    )
+    run_incremental_dedup_once(spark, src, ckpt, name="inc_dd_m1", **kw)
+    m1 = read_streaming_metrics(spark, mdir)
+    peak = m1.agg(F.max("state_rows")).collect()[0][0]
+    assert peak and peak > 0  # buckets populated
+
+    # sweep: touch EVERY bucket the corpus ever produced, far past the
+    # window → everything evicts, emptied keys leave the store
+    time.sleep(1.1)
+    minhash_band_buckets(docs_df, text_col="text", id_col="doc_id").select(
+        "band", "bucket"
+    ).distinct().withColumn("ts", F.lit(10_000).cast("bigint")).coalesce(
+        1
+    ).write.mode("append").parquet(maint)
+    run_incremental_dedup_once(spark, src, ckpt, name="inc_dd_m2", **kw)
+
+    m2 = read_streaming_metrics(spark, mdir)
+    last = (
+        m2.where(F.col("query") == "inc_dd_m2")
+        .orderBy(F.desc("batch_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert last["state_rows"] == 0, last
+    # the sweep emitted no pairs and disturbed none of the earlier output
+    pairs = spark.read.parquet(outd)
+    assert pairs.where(F.col("id_a").startswith("\x00")).count() == 0
+    assert pairs.count() > 0

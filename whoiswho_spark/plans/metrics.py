@@ -117,6 +117,91 @@ def read_metrics(spark: SparkSession, workdir: str) -> DataFrame:
     return spark.read.schema(METRICS_SCHEMA).parquet(f"{workdir}/metrics")
 
 
+# --- bucketed stage checkpoints ----------------------------------------------
+
+
+def _bucket_table_name(workdir: str, name: str) -> str:
+    """Deterministic catalog name for a workdir's bucketed stage table
+    (the metastore needs a name; the data lives under the workdir)."""
+    import hashlib
+
+    h = hashlib.md5(workdir.encode()).hexdigest()[:10]
+    return f"wiws_{h}_{name}"
+
+
+def _ensure_bucket_table(
+    spark: SparkSession, tbl: str, path: str, bucket_col: str, n_buckets: int
+) -> None:
+    """Re-register an EXTERNAL bucketed table over an existing stage
+    checkpoint (a fresh session's metastore doesn't know last run's
+    tables; the parquet files + this DDL carry the full bucket layout)."""
+    if spark.catalog.tableExists(tbl):
+        return
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+        f"CLUSTERED BY (`{bucket_col}`) SORTED BY (`{bucket_col}`) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+
+
+def stage_bucketed(
+    spark: SparkSession,
+    workdir: str,
+    run_id: str,
+    name: str,
+    compute,
+    bucket_col: str,
+    n_buckets: int = 16,
+    resume: bool = True,
+) -> DataFrame:
+    """``stage()`` with a BUCKETED checkpoint: the output is written as
+    an external parquet table bucketed (and sorted) on ``bucket_col``
+    under ``{workdir}/{name}``, and consumers get ``spark.table(...)``
+    so every later join on the bucket key — in this run or a resumed
+    one — reads the stored layout with ZERO Exchange on this side
+    (test_bucketed_join_is_shuffle_free is the plan contract; Iceberg's
+    bucket partition transform is the cluster twin). Plain
+    ``spark.read.parquet(path)`` still works for bucket-agnostic
+    readers (evaluate_run), it just doesn't see the layout."""
+    path = f"{workdir}/{name}"
+    tbl = _bucket_table_name(workdir, name)
+    if resume and _success_exists(spark, path):
+        _ensure_bucket_table(spark, tbl, path, bucket_col, n_buckets)
+        persisted = spark.table(tbl)
+        try:
+            have = (
+                read_metrics(spark, workdir)
+                .where(F.col("stage") == name)
+                .limit(1)
+                .count()
+                > 0
+            )
+        except Exception:
+            have = False
+        if not have:  # same crash-window backfill as stage()
+            append_metrics(spark, workdir, run_id, name, persisted, wall_ms=0)
+        return persisted
+    t0 = time.monotonic()
+    out = compute()
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        out.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
+        .saveAsTable(tbl)
+    )
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    persisted = spark.table(tbl)
+    append_metrics(spark, workdir, run_id, name, persisted, wall_ms)
+    return persisted
+
+
 # --- streaming counters -------------------------------------------------------
 
 STREAMING_METRICS_SCHEMA = (

@@ -62,6 +62,11 @@ class ERConfig:
     use_relational: bool = False
     relational_repeats: int = 2
     text_weight: float = 1.0
+    # bucketed stage checkpoints: payload/embeddings/blocks bucketed on
+    # url and pairs on url_a, so every later join on those keys — in
+    # this run or a resumed one — reads the stored layout without an
+    # Exchange on that side (metrics.stage_bucketed; 0 = plain parquet)
+    bucket_stages: int = 16
 
 
 def extract_stage(pages: DataFrame) -> DataFrame:
@@ -105,9 +110,16 @@ def run_pipeline(
     """
     run_id = run_id or M.new_run_id()
 
-    payload = M.stage(
-        spark, workdir, run_id, "extract", lambda: extract_stage(pages), cfg.resume
-    )
+    def _stage(name, compute, bucket_col=None):
+        if cfg.bucket_stages and bucket_col is not None:
+            return M.stage_bucketed(
+                spark, workdir, run_id, name, compute,
+                bucket_col=bucket_col, n_buckets=cfg.bucket_stages,
+                resume=cfg.resume,
+            )
+        return M.stage(spark, workdir, run_id, name, compute, cfg.resume)
+
+    payload = _stage("extract", lambda: extract_stage(pages), bucket_col="url")
 
     if embeddings is None:
 
@@ -123,9 +135,7 @@ def run_pipeline(
                 model=model, docs=corpus, id_col="url", tokens_col="tokens"
             ).select("url", "embedding")
 
-        embeddings = M.stage(
-            spark, workdir, run_id, "embeddings", _w2v_embeddings, cfg.resume
-        )
+        embeddings = _stage("embeddings", _w2v_embeddings, bucket_col="url")
 
     def _blocks():
         b = lsh_block_keys(
@@ -136,7 +146,7 @@ def run_pipeline(
         )
         return cap_block_size(b, cfg.block_cap)
 
-    blocks = M.stage(spark, workdir, run_id, "blocks", _blocks, cfg.resume)
+    blocks = _stage("blocks", _blocks, bucket_col="url")
 
     def _pairs():
         pay = payload.select("url", "title", "title_tokens", "text_tokens").join(
@@ -160,7 +170,7 @@ def run_pipeline(
             "score",
         )
 
-    pairs = M.stage(spark, workdir, run_id, "pairs", _pairs, cfg.resume)
+    pairs = _stage("pairs", _pairs, bucket_col="url_a")
 
     edges = M.stage(
         spark,

@@ -56,6 +56,12 @@ OUTPUT_SCHEMA = (
 )
 STATE_SCHEMA = "ids array<string>, sigs array<string>, tss array<bigint>"
 
+#: sentinel doc_id for maintenance rows (maintenance_touch_rows): touches
+#: a (band, bucket) key so event-time eviction runs WITHOUT pairing or
+#: admission; \x00 can never appear in a real document id column fed
+#: through the parquet sources.
+MAINTENANCE_ID = "\x00__maintenance__"
+
 
 def minhash_stream_buckets(
     docs: DataFrame,
@@ -122,10 +128,15 @@ def make_bucket_matcher(
     Spark build, verified empirically). Scope of the bound: an ACTIVE
     bucket's member list stays within its window occupancy; a bucket
     that stops receiving docs keeps its last members until next touched
-    (there is no timer path to trim cold keys), so total state is
-    bounded by active-bucket occupancy plus the cold buckets' tails —
-    not a strict ingest-rate × T product. Default (None) retains members
-    forever: exact batch parity."""
+    (there is no timer path to trim cold keys). The MAINTENANCE path
+    closes that gap: a sentinel row (doc_id == MAINTENANCE_ID, see
+    maintenance_touch_rows) touches its key, runs the same event-time
+    eviction at the sentinel's ts, pairs/admits nothing, and REMOVES the
+    state row entirely when the bucket empties — after a maintenance
+    sweep the state key count is exactly the buckets with members inside
+    the trailing window, making the ingest-rate × T bound strict
+    (test_maintenance_sweep_bounds_state). Default (None) retains
+    members forever: exact batch parity."""
 
     def match(
         key: Tuple[Any, ...],
@@ -149,6 +160,21 @@ def make_bucket_matcher(
             sort_keys = ["ts", "doc_id"] if retention_seconds is not None else ["doc_id"]
             pdf = whole.sort_values(sort_keys)
             for doc_id, sig, ts in zip(pdf["doc_id"], pdf["sig"], pdf["ts"]):
+                if doc_id == MAINTENANCE_ID:
+                    # sweep-only touch: evict at this ts, no pair, no admit
+                    if retention_seconds is not None:
+                        cutoff = int(ts) - retention_seconds
+                        keep = [i for i, t in enumerate(tss) if t >= cutoff]
+                        if len(keep) != len(ids):
+                            known -= {
+                                ids[i]
+                                for i in range(len(ids))
+                                if i not in set(keep)
+                            }
+                            ids = [ids[i] for i in keep]
+                            sigs = [sigs[i] for i in keep]
+                            tss = [tss[i] for i in keep]
+                    continue
                 if doc_id in known:
                     # already a member of THIS bucket: the row adds
                     # nothing the batch bucket join wouldn't dedupe away
@@ -181,10 +207,33 @@ def make_bucket_matcher(
                     sigs.append(sig)
                     tss.append(int(ts))
                 known.add(doc_id)
-        state.update((ids, sigs, tss))
+        if ids:
+            state.update((ids, sigs, tss))
+        elif state.exists:
+            # fully evicted (maintenance sweep or retention): drop the
+            # state row so cold buckets stop occupying the store
+            state.remove()
         yield pd.DataFrame(out)
 
     return match
+
+
+def maintenance_touch_rows(buckets: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """(band, bucket[, ts]) → sentinel rows in the bucketed-stream shape
+    (doc_id = MAINTENANCE_ID, empty sig): union these into the stream
+    (``maintenance`` arg / ``maintenance_dir``) to sweep cold keys. The
+    bucket list typically comes from the batch corpus snapshot
+    (dedup.minhash_band_buckets) or the recorded pair output."""
+    # the (band, bucket) columns are the STATE KEY: they must be
+    # non-nullable like the main chain's (lit/md5 outputs), or the union
+    # widens the key schema and a resumed checkpoint rejects it
+    return buckets.select(
+        F.lit(MAINTENANCE_ID).alias("doc_id"),
+        F.lit("").alias("sig"),
+        F.coalesce(F.col(ts_col).cast("bigint"), F.lit(0).cast("bigint")).alias("ts"),
+        F.coalesce(F.col("band").cast("int"), F.lit(0)).alias("band"),
+        F.coalesce(F.col("bucket").cast("string"), F.lit("")).alias("bucket"),
+    ).select("doc_id", "band", "bucket", "sig", "ts")
 
 
 def incremental_dedup_stream(
@@ -196,16 +245,21 @@ def incremental_dedup_stream(
     max_bucket_size: int = 256,
     ts_col: str | None = None,
     retention_seconds: int | None = None,
+    maintenance: DataFrame | None = None,
 ) -> DataFrame:
     """documents stream (id, text[, ts]) → (id_a, id_b, band, bucket,
     est_jaccard) append stream of candidate duplicate pairs; bucket
     membership persists across micro-batches (and restarts, via the
     checkpoint dir). The groupBy shuffle is the same (band, bucket)
     shuffle the batch bucket-join pays. ``ts_col`` + ``retention_
-    seconds`` bound retention by event time (see make_bucket_matcher)."""
+    seconds`` bound retention by event time; ``maintenance`` (sentinel
+    rows from maintenance_touch_rows, batch or streaming) sweeps cold
+    keys so the state bound is strict (see make_bucket_matcher)."""
     bucketed = minhash_stream_buckets(
         docs, text_col, id_col, num_hashes, rows_per_band, ts_col=ts_col
     )
+    if maintenance is not None:
+        bucketed = bucketed.unionByName(maintenance)
     return bucketed.groupBy("band", "bucket").applyInPandasWithState(
         make_bucket_matcher(max_bucket_size, retention_seconds),
         outputStructType=OUTPUT_SCHEMA,
@@ -230,6 +284,7 @@ def run_incremental_dedup_once(
     output_dir: str | None = None,
     metrics_dir: str | None = None,
     run_id: str | None = None,
+    maintenance_dir: str | None = None,
 ) -> DataFrame:
     """Drain a parquet directory through the stateful matcher with
     availableNow (one file per micro-batch → membership genuinely
@@ -258,6 +313,15 @@ def run_incremental_dedup_once(
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(source_dir)
         )
+        maintenance = None
+        if maintenance_dir is not None:
+            # second file source of (band, bucket, ts) touch requests —
+            # appended between drains to sweep cold keys
+            maintenance = maintenance_touch_rows(
+                spark.readStream.schema("band int, bucket string, ts bigint")
+                .option("maxFilesPerTrigger", max_files_per_trigger)
+                .parquet(maintenance_dir)
+            )
         pairs = incremental_dedup_stream(
             stream,
             num_hashes=num_hashes,
@@ -265,6 +329,7 @@ def run_incremental_dedup_once(
             max_bucket_size=max_bucket_size,
             ts_col=ts_col,
             retention_seconds=retention_seconds,
+            maintenance=maintenance,
         )
         if output_dir is not None:
             q = (
