@@ -358,10 +358,14 @@ def _q_events_hourly(spark, sf):
 
 
 def _q_simhash_pairs(spark, sf):
-    """SimHash near-dups via the pigeonhole chunk-bucket plan (candidates
-    meet on (block, chunk_idx, chunk_value), never the quadratic block
-    self-join) — result-identical to the block plan (pytest-gated) and
-    bit-parity-checked against the independent DuckDB simhash oracle."""
+    """SimHash near-dups via the ADAPTIVE plan: pigeonhole chunk-bucket
+    join (candidates meet on (block, chunk_idx, chunk_value)) whenever
+    the chunks are wide enough to prune; at this query's loose k=16 the
+    filter is provably near-vacuous (17 4-bit chunks), so the plan
+    keeps the block-bounded join — there is no exact sub-quadratic plan
+    in that regime. Chunk-join ≡ block-join equivalence is pytest-gated
+    across both regimes; bit-parity vs the independent DuckDB simhash
+    oracle."""
     from whoiswho_spark.operators.dedup import simhash_dup_pairs_bucketed
 
     return simhash_dup_pairs_bucketed(

@@ -641,7 +641,14 @@ def test_simhash_bucketed_plan_matches_block_plan(spark):
     rows += [(100, "a", rows[0][2]), (101, "a", rows[1][2])]  # exact dups
     df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
 
-    for k, n_chunks in ((0, None), (3, None), (3, 8), (16, None), (64, None)):
+    # None → adaptive (k=16 falls back to the block join — narrow
+    # chunks; k=64 is degenerate, no pigeonhole exists; still parity);
+    # explicit n_chunks forces the chunk join incl. the narrow-chunk
+    # regimes (17×4-bit, 64×1-bit)
+    for k, n_chunks in (
+        (0, None), (3, None), (3, 8), (16, None), (16, 17), (63, 64),
+        (64, None),
+    ):
         a = {(r["block"], r["id_a"], r["id_b"], r["hamming"])
              for r in simhash_dup_pairs(df, "source", max_hamming=k).collect()}
         b = {(r["block"], r["id_a"], r["id_b"], r["hamming"])

@@ -445,6 +445,7 @@ def simhash_dup_pairs_bucketed(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_chunks: int | None = None,
+    min_chunk_bits: int = 8,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming ≤ k — THE 100 TB plan,
     result-identical to ``simhash_dup_pairs`` (pytest-gated, same
@@ -463,16 +464,36 @@ def simhash_dup_pairs_bucketed(
     residual quadratic is within true near-dup groups only, the same
     bound minhash_dup_pairs carries.
 
+    ADAPTIVE regime (``n_chunks=None``): the pigeonhole only has power
+    while chunks stay wide — k+1 chunks of w = 64/(k+1) bits prune a
+    random pair by ~(k+1)/2^w, so beyond k ≈ 64/min_chunk_bits − 1 the
+    filter is provably near-vacuous and the chunk explode/dedupe is
+    pure overhead (measured: k=16 → 17 4-bit chunks ran 1.4× SLOWER
+    than the block join at sf0.1). In that regime there is NO exact
+    sub-quadratic plan (any ≤k certificate needs k+1 disjoint exact
+    spans), so the caller's block key is the only bound and the plan
+    falls back to the block join. Pass ``n_chunks`` explicitly to force
+    the chunk join regardless (the equivalence test does).
+
     ``n_chunks`` > max_hamming+1 trades more candidate replication for
     smaller buckets; fewer is invalid (pigeonhole breaks) and raises.
     """
-    n_chunks = max_hamming + 1 if n_chunks is None else n_chunks
+    if n_chunks is None:
+        if max_hamming >= 64 or 64 // (max_hamming + 1) < min_chunk_bits:
+            # k ≥ 64: every pair qualifies — no pigeonhole exists (a
+            # hamming-64 pair differs in all 64 one-bit chunks). Narrow
+            # chunks: filter near-vacuous (see docstring). Both regimes
+            # keep the block-bounded join.
+            return simhash_dup_pairs(
+                df, block_col, text_col, id_col, max_hamming
+            )
+        n_chunks = max_hamming + 1
+    n_chunks = min(n_chunks, 64)
     if n_chunks < max_hamming + 1:
         raise ValueError(
-            f"n_chunks={n_chunks} < max_hamming+1={max_hamming + 1}: a pair "
-            "within the hamming bound could differ in every chunk"
+            f"usable chunks {n_chunks} < max_hamming+1={max_hamming + 1}: a "
+            "pair within the hamming bound could differ in every chunk"
         )
-    n_chunks = min(n_chunks, 64)
     s = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col),
