@@ -323,3 +323,52 @@ def test_rnd_fuzzy_fallback_head_token_bounded(spark):
         max_token_df=64,
     ).collect()
     assert out2 == []  # no rare-token or exact-name meet → NIL, not 400 pairs
+
+
+def test_rnd_assign_ego_channel_breaks_pairwise_tie(spark):
+    """use_ego=True adds the ego-graph set-level mean-cosine to the
+    per-cluster score (the GNN-matching-model substitution): a cluster
+    containing ONE look-alike member but an inconsistent profile loses
+    to the cluster the page agrees with throughout, which the pairwise
+    max alone cannot distinguish."""
+    from whoiswho_spark.plans.rnd_pipeline import assign_pages
+
+    def payload(url, title, toks, emb):
+        return (url, title, toks, toks * 2, emb)
+
+    schema = (
+        "url string, title string, title_tokens array<string>, "
+        "text_tokens array<string>, embedding array<double>"
+    )
+    t = "shared research page title"
+    toks = t.split()
+    e_page = [1.0, 0.0]
+    # A_bad: one exact-embedding twin + two orthogonal members.
+    # B_good: three members all near the page's embedding.
+    profiles = spark.createDataFrame(
+        [
+            payload("a1", t, toks, [1.0, 0.0]),   # twin (ties the max)
+            payload("a2", t, toks, [0.0, 1.0]),
+            payload("a3", t, toks, [0.0, 1.0]),
+            payload("b1", t, toks, [1.0, 0.0]),   # twin too
+            payload("b2", t, toks, [0.9, 0.1]),
+            payload("b3", t, toks, [0.95, 0.05]),
+        ],
+        schema,
+    )
+    clusters = spark.createDataFrame(
+        [("a1", "A_bad"), ("a2", "A_bad"), ("a3", "A_bad"),
+         ("b1", "B_good"), ("b2", "B_good"), ("b3", "B_good")],
+        "url string, cluster_id string",
+    )
+    new = spark.createDataFrame([payload("n1", t, toks, e_page)], schema)
+
+    # identical titles/tokens + an exact-embedding twin in BOTH clusters
+    # → pairwise max ties; the deterministic tie-break picks A_bad
+    plain = assign_pages(new, profiles, clusters, threshold=0.1).collect()
+    assert len(plain) == 1 and plain[0]["cluster_id"] == "A_bad"
+
+    ego = assign_pages(
+        new, profiles, clusters, threshold=0.1, use_ego=True, ego_weight=0.5
+    ).collect()
+    assert len(ego) == 1 and ego[0]["cluster_id"] == "B_good"

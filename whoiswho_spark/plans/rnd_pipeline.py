@@ -37,6 +37,9 @@ def assign_pages(
     bands: int = 4,
     fuzzy_fallback: bool = False,
     max_token_df: int = 256,
+    use_ego: bool = False,
+    ego_weight: float = 0.5,
+    ego_max_author_papers: int = 64,
 ) -> DataFrame:
     """(new pages payload, profile payload, clusters(url, cluster_id)) →
     assignments(url, cluster_id, score); pages below threshold are NIL
@@ -162,6 +165,43 @@ def assign_pages(
         .groupBy("url_new", "cluster_id")
         .agg(F.max("score").alias("score"))
     )
+    if use_ego:
+        # ego-graph relational channel (operators/ego_graph.py — the
+        # graph_features.py:96-180 analog): pool the candidate cluster's
+        # member embeddings as a NODE SET and add the set-level max
+        # cosine to the per-cluster score. Complements the pairwise
+        # f_emb_dot (one member at a time) with the author-ego view the
+        # reference's GNN matching model provides.
+        from whoiswho_spark.operators.ego_graph import attach_ego_features
+
+        ego = attach_ego_features(
+            per_cluster.select(
+                F.col("url_new").alias("pid"), F.col("cluster_id").alias("aid")
+            ),
+            memberships=clusters.select(
+                F.col("cluster_id").alias("aid"), "url"
+            ),
+            embeddings=profile_payload.unionByName(new_payload)
+            .select("url", "embedding")
+            .dropDuplicates(["url"]),
+            max_author_papers=ego_max_author_papers,
+        ).select(
+            F.col("pid").alias("url_new"),
+            F.col("aid").alias("cluster_id"),
+            "f_ego_mean_cos",
+        )
+        # the SET-LEVEL mean (whole-profile consistency) is the signal
+        # the pairwise max can't see: a cluster with one look-alike
+        # member but an inconsistent profile scores below a cluster the
+        # page agrees with throughout
+        per_cluster = per_cluster.join(
+            ego, ["url_new", "cluster_id"], "left"
+        ).withColumn(
+            "score",
+            F.col("score")
+            + F.lit(float(ego_weight))
+            * F.coalesce("f_ego_mean_cos", F.lit(0.0)),
+        ).drop("f_ego_mean_cos")
     return top1_assign(
         per_cluster, item_col="url_new", cand_col="cluster_id",
         score_col="score", threshold=threshold,
