@@ -89,3 +89,46 @@ def test_cc_equals_union_find_property(spark, int_edges):
     edf = spark.createDataFrame(edges, "src string, dst string")
     got = {r["url"]: r["cluster_id"] for r in connected_components(edf).collect()}
     assert got == want
+
+
+@given(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=120, deadline=None)
+def test_simhash_chunk_decomposition_reconstructs(spark, sh, n_chunks):
+    """The chunk spans are a PARTITION of the 64 bits: shifting each
+    chunk back to its offset and OR-ing reconstructs the hash exactly —
+    the property the pigeonhole bucket join's correctness rests on."""
+    from whoiswho_spark.operators.dedup import _simhash_chunk_cols
+
+    base, extra = divmod(64, n_chunks)
+    u = sh & ((1 << 64) - 1)  # unsigned view
+    acc, off = 0, 0
+    for c in range(n_chunks):
+        w = base + (1 if c < extra else 0)
+        chunk = (u >> off) & ((1 << w) - 1)
+        acc |= chunk << off
+        off += w
+    assert off == 64 and acc == u
+    # and the Catalyst column list matches the widths (pure metadata)
+    import pyspark.sql.functions as F
+
+    cols = _simhash_chunk_cols(F.lit(sh), n_chunks)
+    assert len(cols) == n_chunks
+
+
+def test_cjk_pinyin_table_wellformed():
+    """Contract-data sanity: every key is a single Han character, every
+    value a legal toneless pinyin syllable (NORMAL style, ü→v)."""
+    import re
+
+    from whoiswho_spark.functions.pinyin import CHAR_TO_PINYIN
+
+    syllable = re.compile(
+        r"^(?:[bpmfdtnlgkhjqxrzcsywv]|zh|ch|sh)?[aeiouv]{1,3}(?:n|ng|r)?$"
+    )
+    assert len(CHAR_TO_PINYIN) > 500
+    for ch, py in CHAR_TO_PINYIN.items():
+        assert len(ch) == 1 and "一" <= ch <= "鿿", ch
+        assert syllable.match(py), (ch, py)
