@@ -68,3 +68,43 @@ def test_exact_dedup_shuffles_hash_only(spark):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "text#" not in ln, ln
+
+
+def test_ego_graph_features_narrow_shuffles(spark):
+    """The ego feature joins must not cartesian and must not carry the
+    embedding arrays through more Exchanges than the two side
+    aggregations need (paper rep + author node sets meet candidates on
+    equi-keys)."""
+    plan = _plan(spark, "ego_graph_features")
+    assert "CartesianProduct" not in plan
+    # crossJoin(pids × distinct aids) is a 20×10 candidate grid built
+    # via broadcast — allowed; the FEATURE joins are hash equi-joins
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_rnd_ensemble_inference_is_catalyst_only(spark):
+    """The vote/top-1 inference path compiles entirely to JVM-side
+    expressions: no Python workers (BatchEvalPython / ArrowEvalPython /
+    FlatMapGroupsInPandas) anywhere in the scoring plan."""
+    plan = _plan(spark, "rnd_ensemble_scores")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+
+
+def test_simhash_adaptive_plan_regimes(spark):
+    """k=16 (narrow chunks) keeps the block-bounded join — exactly one
+    self-join on the block key, no chunk explode; k=3 runs the chunk
+    join — the explode + (block, ci, cv) meet appears."""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.dedup import simhash_dup_pairs_bucketed
+
+    docs = entrymod._t(spark, SF, "documents")
+    loose = simhash_dup_pairs_bucketed(docs, "source", max_hamming=16)
+    loose_plan = loose._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" not in loose_plan  # block join, no chunks
+
+    tight = simhash_dup_pairs_bucketed(docs, "source", max_hamming=3)
+    tight_plan = tight._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in tight_plan  # chunk meet
+    assert "CartesianProduct" not in tight_plan
