@@ -75,23 +75,27 @@ def minhash_table(
     )
 
 
-def band_bucket_structs(sig: list[Column], rows_per_band: int) -> list[Column]:
-    """(band, bucket) structs over a signature column list — THE bucket
-    definition, shared by the batch operator below and the streaming
-    twin (streaming/incremental_dedup.minhash_stream_buckets) so the two
-    engines land every doc in byte-identical buckets by construction."""
-    bands = []
+def band_bucket_cols(sig: list[Column], rows_per_band: int) -> list[Column]:
+    """One md5 bucket column per band — THE bucket definition, shared by
+    every consumer (batch structs below, the wide pair plan, and the
+    streaming twin) so a doc lands in byte-identical buckets everywhere
+    by construction."""
+    cols = []
     for b in range(len(sig) // rows_per_band):
         parts = sig[b * rows_per_band : (b + 1) * rows_per_band]
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("_", *[p.cast("string") for p in parts])).alias(
-                    "bucket"
-                ),
-            )
+        cols.append(
+            F.md5(F.concat_ws("_", *[p.cast("string") for p in parts]))
         )
-    return bands
+    return cols
+
+
+def band_bucket_structs(sig: list[Column], rows_per_band: int) -> list[Column]:
+    """(band, bucket) structs over a signature column list (see
+    band_bucket_cols for the shared bucket definition)."""
+    return [
+        F.struct(F.lit(b).alias("band"), c.alias("bucket"))
+        for b, c in enumerate(band_bucket_cols(sig, rows_per_band))
+    ]
 
 
 def minhash_band_buckets(
@@ -122,6 +126,15 @@ def minhash_dup_pairs(
 ) -> DataFrame:
     """Candidate dup pairs from shared LSH buckets (deduped across bands).
 
+    NO GLOBAL DISTINCT: a pair duplicates only when both docs collide in
+    SEVERAL bands, so each band-b join emits a pair only if its buckets
+    DIFFER in every earlier band — exactly-once by first-colliding-band,
+    a per-row predicate instead of a shuffle+hash-aggregate over the
+    (quadratically expanded) pair table. Measured at sf0.1 the distinct
+    was ~4 s of the query's 8 s; this plan removes it while shuffling
+    the same narrow doc rows (each band join carries the num_bands md5
+    strings — bytes per doc, not per pair).
+
     Boilerplate-heavy corpora produce mega-buckets (one bucket at sf0.1
     holds 3k docs → ~5M pairs); a plain bucket join puts each bucket's
     quadratic work on ONE task. SIZE-CONDITIONAL salting: one cheap
@@ -132,45 +145,62 @@ def minhash_dup_pairs(
     heavy-bucket key list is tiny by construction (≤ |corpus| /
     salt_min_bucket keys) and is broadcast.
     """
-    bk = minhash_band_buckets(df, text_col, id_col, num_hashes, rows_per_band)
-    # bk is tiny (num_bands rows per doc, two small columns) but its plan
-    # re-evaluates the full text-tokenize+md5 chain; it feeds THREE
-    # consumers (size agg + both join sides) → materialize once
-    bk = bk.localCheckpoint()
-    heavy = (
-        bk.groupBy("band", "bucket")
-        .agg(F.count("*").alias("_bsz"))
-        .where(F.col("_bsz") >= salt_min_bucket)
-        .select("band", "bucket", F.lit(True).alias("_heavy"))
+    base = _distinct_tokens_first(df, text_col, id_col)
+    sig = minhash_signature_cols(F.col("_toks"), num_hashes)
+    buckets = band_bucket_cols(sig, rows_per_band)
+    n_bands = len(buckets)
+    wide = base.select(
+        F.col(id_col), *[c.alias(f"_bk{b}") for b, c in enumerate(buckets)]
     )
-    bk = bk.join(F.broadcast(heavy), ["band", "bucket"], "left")
-    a = bk.select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col(id_col).alias("id_a"),
-        F.when(
-            F.col("_heavy"),
-            F.pmod(hash60(F.col(id_col).cast("string"), "mhsalt"), F.lit(n_salts)),
+    # one narrow row per doc (id + num_bands md5 strings) feeding the
+    # heavy census + both sides of every band join → materialize once
+    wide = wide.localCheckpoint()
+
+    out = None
+    for b in range(n_bands):
+        key = f"_bk{b}"
+        heavy = (
+            wide.groupBy(key)
+            .agg(F.count("*").alias("_bsz"))
+            .where(F.col("_bsz") >= salt_min_bucket)
+            .select(key, F.lit(True).alias("_heavy"))
         )
-        .otherwise(F.lit(0))
-        .alias("_salt"),
-    )
-    b = bk.select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col(id_col).alias("id_b"),
-        F.explode(
+        marked = wide.join(F.broadcast(heavy), key, "left")
+        earlier = [f"_bk{j}" for j in range(b)]
+        a = marked.select(
+            F.col(key).alias("_k"),
+            F.col(id_col).alias("id_a"),
+            *[F.col(e).alias(f"_a{e}") for e in earlier],
             F.when(
-                F.col("_heavy"), F.sequence(F.lit(0), F.lit(n_salts - 1))
-            ).otherwise(F.array(F.lit(0)))
-        ).alias("_salt"),
-    )
-    return (
-        a.join(b, ["band", "bucket", "_salt"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+                F.col("_heavy"),
+                F.pmod(
+                    hash60(F.col(id_col).cast("string"), "mhsalt"),
+                    F.lit(n_salts),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("_salt"),
+        )
+        bb = marked.select(
+            F.col(key).alias("_k"),
+            F.col(id_col).alias("id_b"),
+            *[F.col(e).alias(f"_b{e}") for e in earlier],
+            F.explode(
+                F.when(
+                    F.col("_heavy"), F.sequence(F.lit(0), F.lit(n_salts - 1))
+                ).otherwise(F.array(F.lit(0)))
+            ).alias("_salt"),
+        )
+        cond = F.col("id_a") < F.col("id_b")
+        for e in earlier:
+            # first-colliding-band ownership: skip pairs an earlier
+            # band's join already emitted
+            cond = cond & (F.col(f"_a{e}") != F.col(f"_b{e}"))
+        pairs_b = (
+            a.join(bb, ["_k", "_salt"]).where(cond).select("id_a", "id_b")
+        )
+        out = pairs_b if out is None else out.unionByName(pairs_b)
+    return out
 
 
 def _jaccard_sets_udf():
@@ -310,6 +340,10 @@ def ngram_jaccard_pairs_prefix(
             + 1
         ).cast("int"),
     )
+    # (A PPJoin positional filter on the meet rows was tried and
+    # REVERTED: at sf0.1 the per-row min-overlap arithmetic over the
+    # ~10×-duplicated raw meets cost more than the candidate distinct it
+    # was meant to relieve — 4.8 s vs 3.9 s best-of-3.)
     prefixes = ranked.select(
         "block",
         F.col(id_col),
