@@ -91,7 +91,7 @@ def _er_pipeline_bench(spark, sf_dir: str) -> tuple[int, float]:
 
     from whoiswho_spark.operators.blocking import minhash_signature_cols
     from whoiswho_spark.operators.clustering import connected_components
-    from whoiswho_spark.operators.dedup import _jaccard_sets_udf, tokens_col
+    from whoiswho_spark.operators.dedup import _jaccard_sets_memo_udf, tokens_col
 
     t0 = time.monotonic()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -116,14 +116,22 @@ def _er_pipeline_bench(spark, sf_dir: str) -> tuple[int, float]:
     )
     a = blocks.select("block_key", F.col("url").alias("url_a"), F.col("toks").alias("toks_a"))
     b = blocks.select("block_key", F.col("url").alias("url_b"), F.col("toks").alias("toks_b"))
-    # Arrow set-Jaccard kernel (identical doubles to the Catalyst
-    # array_intersect form on distinct arrays — len(∩)/len(∪) — but
-    # ~25% faster: one batch per task vs interpreted array HOFs)
-    jac = _jaccard_sets_udf()
+    # Arrow set-Jaccard kernel with the per-batch id→set memo (identical
+    # doubles to the Catalyst array_intersect form on distinct arrays —
+    # len(∩)/len(∪)); pairs clustered by url_a so each page's set is
+    # built once per batch, not once per pair
+    jac = _jaccard_sets_memo_udf()
     pairs = (
         a.join(b, "block_key")
         .where(F.col("url_a") < F.col("url_b"))
-        .select("url_a", "url_b", jac(F.col("toks_a"), F.col("toks_b")).alias("score"))
+        .select(
+            "url_a",
+            "url_b",
+            jac(
+                F.col("url_a"), F.col("toks_a"),
+                F.col("url_b"), F.col("toks_b"),
+            ).alias("score"),
+        )
     )
     pairs = pairs.persist()
     n_pairs = pairs.count()

@@ -223,6 +223,46 @@ def _jaccard_sets_udf():
     return pandas_udf(jac, DoubleType())
 
 
+def _jaccard_sets_memo_udf():
+    """Token-set Jaccard with a PER-BATCH id→set memo: every page
+    appears in many pairs, so each set is built once per Arrow batch
+    instead of once per pair. No explicit re-sort needed — pair batches
+    arrive clustered already (block-key join output groups a block's
+    pairs; payload-join output repeats the join-key side), and an
+    explicit sortWithinPartitions of the WIDE pair rows was measured
+    slower than the memo savings. |∪| = |a|+|b|−|∩| (no union-set
+    allocation). Bit-identical doubles to _jaccard_sets_udf: same
+    integer counts, same one division."""
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql.types import DoubleType
+
+    def jac(ida, x, idb, y):
+        memo: dict = {}
+        out = np.zeros(len(x))
+
+        def get(i, arr):
+            s = memo.get(i)
+            if s is None:
+                s = set(arr)
+                memo[i] = s
+            return s
+
+        for i in range(len(x)):
+            sa = get(ida.iat[i], x.iat[i])
+            sb = get(idb.iat[i], y.iat[i])
+            inter = len(sa & sb)
+            u = len(sa) + len(sb) - inter
+            out[i] = inter / u if u else 0.0
+        return pd.Series(out)
+
+    jac.__annotations__ = {
+        "ida": pd.Series, "x": pd.Series,
+        "idb": pd.Series, "y": pd.Series, "return": pd.Series,
+    }
+    return pandas_udf(jac, DoubleType())
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     block_col: str,
@@ -257,7 +297,7 @@ def ngram_jaccard_pairs(
     )
     if broadcast_right:
         b = F.broadcast(b)
-    jac_udf = _jaccard_sets_udf()
+    jac_udf = _jaccard_sets_memo_udf()
     return (
         a.join(b, "block")
         .where(
@@ -271,7 +311,13 @@ def ngram_jaccard_pairs(
             "block",
             "id_a",
             "id_b",
-            F.round(jac_udf(F.col("toks_a"), F.col("toks_b")), 6).alias("jaccard"),
+            F.round(
+                jac_udf(
+                    F.col("id_a"), F.col("toks_a"),
+                    F.col("id_b"), F.col("toks_b"),
+                ),
+                6,
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -368,7 +414,7 @@ def ngram_jaccard_pairs_prefix(
         .select("block", "id_a", "id_b")
         .distinct()
     )
-    jac_udf = _jaccard_sets_udf()
+    jac_udf = _jaccard_sets_memo_udf()
     return (
         cands.join(
             t.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a")),
@@ -382,7 +428,13 @@ def ngram_jaccard_pairs_prefix(
             "block",
             "id_a",
             "id_b",
-            F.round(jac_udf(F.col("toks_a"), F.col("toks_b")), 6).alias("jaccard"),
+            F.round(
+                jac_udf(
+                    F.col("id_a"), F.col("toks_a"),
+                    F.col("id_b"), F.col("toks_b"),
+                ),
+                6,
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
