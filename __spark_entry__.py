@@ -443,6 +443,24 @@ def _q_lsh_ann_topk(spark, sf):
     )
 
 
+def _q_lsh_neardup(spark, sf):
+    """The 100 TB embedding-near-dup composition (ann.
+    lsh_sharded_neardup_pairs): LSH sign-bucket first, blocked
+    shard-pair matmul WITHIN each bucket — no driver collect, no
+    per-pair rows; result-identical to the LSH join plan
+    (pytest-gated) and oracle-checked against the DuckDB sign-bucket
+    pair join."""
+    from whoiswho_spark.operators.ann import lsh_sharded_neardup_pairs
+
+    return lsh_sharded_neardup_pairs(
+        _t(spark, sf, "embeddings"),
+        threshold=0.35,
+        n_planes=4,
+        dim=64,
+        n_shards=3,
+    )
+
+
 def _q_lang_id(spark, sf):
     """Heuristic language ID over marker-word ratios."""
     from whoiswho_spark.functions.textstats import lang_id_col
@@ -1014,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gbdt_scores": _q_gbdt_scores,
         "rnd_ensemble_scores": _q_rnd_ensemble_scores,
         "ego_graph_features": _q_ego_graph_features,
+        "lsh_neardup": _q_lsh_neardup,
     }
 
 
@@ -1176,6 +1195,31 @@ def _dd_lsh_ann_sql() -> str:
                  (partition by query_id order by cos desc, neighbor_id asc) as rk
               from scored)
         where rk <= 5
+    """
+
+
+def _dd_lsh_neardup_sql() -> str:
+    """DuckDB twin of ann.lsh_sharded_neardup_pairs: the same seeded
+    hyperplane sign buckets as _dd_lsh_ann_sql, pair join within bucket,
+    6dp-rounded cosine threshold."""
+    from whoiswho_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(64, 4, seed=42)
+    bucket = " || ".join(
+        "(case when list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(x)) for x in p)
+        + "]) > 0 then '1' else '0' end)"
+        for p in planes
+    )
+    return f"""
+        with b as (
+            select vec_id, embedding, {bucket} as bucket from embeddings)
+        select x.vec_id as id_a, y.vec_id as id_b,
+               round(list_cosine_similarity(
+                   x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) as cos
+        from b x join b y on x.bucket = y.bucket and x.vec_id < y.vec_id
+        where round(list_cosine_similarity(
+                  x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) >= 0.35
     """
 
 
@@ -1728,6 +1772,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_pairs": _dd_simhash_sql(),
         "lsh_ann_topk": _dd_lsh_ann_sql(),
+        "lsh_neardup": _dd_lsh_neardup_sql(),
         # knrm over SINGLETON sets: the 1×1 sim matrix makes kernel 0 a
         # closed form of the pair cosine — k0 = ln(1 + exp(-(cos-mu0)^2 /
         # (2 sigma^2))), mu0 = -0.975, sigma = 0.1 (similarity.py KNRM grid)

@@ -233,6 +233,7 @@ def sharded_neardup_pairs(
     n_shards: int = 8,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    bucket: "F.Column | None" = None,
 ) -> DataFrame:
     """Exact cosine near-dup pairs with NO driver-side collect — the
     blocked all-pairs matmul and the contract plan.
@@ -241,15 +242,20 @@ def sharded_neardup_pairs(
     shards (i ≤ j) is one group, so each row replicates n_shards+1× and
     each task multiplies two shard matrices (memory 2·|corpus|/n_shards).
     n_shards trades replication O(P) against per-task memory O(n/P) —
-    the classic exact blocked scheme. At 100 TB, LSH-bucket first
-    (embedding_neardup_pairs with n_planes>0) and run this kernel inside
-    each bucket; exact mode is the oracle-checked default.
+    the classic exact blocked scheme. ``bucket`` (any Column over the
+    input row, e.g. an LSH sign bucket) composes the bound: the blocked
+    kernel runs WITHIN each bucket and per-task memory becomes
+    2·|bucket|/n_shards — the 100 TB composition
+    ``lsh_sharded_neardup_pairs`` wraps. Exact over all pairs when
+    ``bucket`` is None (the oracle-checked default).
 
     Result-identical to embedding_neardup_pairs_blas (pytest-verified).
     """
+    bkt = F.lit(0) if bucket is None else bucket
     v = vectors.select(
         F.col(id_col).alias("_id"),
         F.col(emb_col).alias("_emb"),
+        bkt.alias("_bkt"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("_s"),
     )
     # row with shard s is the A side of blocks (s, j≥s) and the B side of
@@ -257,6 +263,7 @@ def sharded_neardup_pairs(
     a_side = v.select(
         "_id",
         "_emb",
+        "_bkt",
         F.col("_s").alias("_bi"),
         F.explode(F.sequence(F.col("_s"), F.lit(n_shards - 1))).alias("_bj"),
         F.lit("a").alias("_role"),
@@ -264,6 +271,7 @@ def sharded_neardup_pairs(
     b_side = v.select(
         "_id",
         "_emb",
+        "_bkt",
         F.explode(F.sequence(F.lit(0), F.col("_s"))).alias("_bi"),
         F.col("_s").alias("_bj"),
         F.lit("b").alias("_role"),
@@ -293,8 +301,41 @@ def sharded_neardup_pairs(
     _idt = vectors.schema[id_col].dataType.simpleString()
     return (
         a_side.unionByName(b_side)
-        .groupBy("_bi", "_bj")
+        .groupBy("_bkt", "_bi", "_bj")
         .applyInPandas(block_pairs, schema=f"id_a {_idt}, id_b {_idt}, cos double")
+    )
+
+
+def lsh_sharded_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_shards: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """THE 100 TB embedding-near-dup composition: LSH sign-bucket first
+    (near-dups almost surely agree on every plane sign at high
+    thresholds), then the blocked shard-pair matmul WITHIN each bucket —
+    per-task memory 2·|bucket|/n_shards, no driver collect, no per-pair
+    row materialization (the join-plan LSH path pays a pandas-UDF call
+    per pair and puts a mega-bucket's quadratic on one task; here a hot
+    bucket is split across n_shards² block tasks, the same defusal the
+    exact plan uses globally).
+
+    Result-identical to ``embedding_neardup_pairs(n_planes=n_planes)``
+    (same bucket definition, exact within buckets — pytest-gated);
+    recall vs the exact all-pairs answer is the usual LSH trade,
+    measured by the recall test."""
+    planes = _hyperplanes(dim, n_planes)
+    return sharded_neardup_pairs(
+        vectors,
+        threshold=threshold,
+        n_shards=n_shards,
+        id_col=id_col,
+        emb_col=emb_col,
+        bucket=lsh_bucket_col(F.col(emb_col), planes),
     )
 
 
