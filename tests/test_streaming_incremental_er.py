@@ -261,3 +261,86 @@ def test_incremental_er_member_cap_bounds_state(spark, tmp_path):
     assert fin["c02"]["cluster_id"] == "c02" and fin["c02"]["is_new"]
     # the cap kept c02 out of the registry → c03 can't see it
     assert fin["c03"]["cluster_id"] == "c03" and fin["c03"]["is_new"]
+
+
+def test_incremental_er_event_time_retention(spark, tmp_path):
+    """The dedup twin's event-time bound on the ER registry: a member
+    outside the trailing window is evicted when its block is touched, so
+    a later look-alike page founds a NEW cluster instead of attaching —
+    and without retention it attaches (control)."""
+    from whoiswho_spark.streaming.incremental_er import (
+        final_assignments,
+        run_incremental_er_once,
+    )
+
+    # "a_old" sorts before "b_new" → processed first in the url-order
+    # (no-retention) regime as well as the (ts, url) regime
+    rows = [
+        ("a_old", "blk", ["alpha", "beta", "gamma", "delta"], 0),
+        ("b_new", "blk", ["alpha", "beta", "gamma", "epsilon"], 1000),
+    ]
+    schema = "url string, block_key string, toks array<string>, ts bigint"
+
+    for ret, expect_new in ((None, False), (100, True)):
+        src = str(tmp_path / f"src_{ret}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        events = run_incremental_er_once(
+            spark, src, str(tmp_path / f"ck_{ret}"),
+            name=f"inc_er_ret_{ret}", threshold=0.5, schema=schema,
+            ts_col="ts", retention_seconds=ret,
+        )
+        fin = {r["url"]: r for r in final_assignments(events).collect()}
+        assert fin["b_new"]["is_new"] is expect_new, ret
+        assert fin["b_new"]["cluster_id"] == ("b_new" if expect_new else "a_old")
+
+
+def test_incremental_er_maintenance_sweep_bounds_state(spark, tmp_path):
+    """Cold-block trim: a maintenance sweep at a late ts evicts every
+    retained member and REMOVES emptied block state rows — state key
+    count drops to zero, emitted assignments untouched."""
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.plans.metrics import read_streaming_metrics
+    from whoiswho_spark.streaming.incremental_er import run_incremental_er_once
+
+    src = str(tmp_path / "src_sweep")
+    maint = str(tmp_path / "maint_sweep")
+    ckpt = str(tmp_path / "ck_sweep")
+    outd = str(tmp_path / "out_sweep")
+    mdir = str(tmp_path / "metrics_sweep")
+    _os.makedirs(maint, exist_ok=True)  # present-but-empty on drain 1
+
+    schema = "url string, block_key string, toks array<string>, ts bigint"
+    rows = [
+        (f"u{i:02d}", f"blk{i % 3}", ["shared", "alpha", f"w{i}"], 100 + i)
+        for i in range(12)
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    kw = dict(
+        schema=schema, ts_col="ts", retention_seconds=100,
+        output_dir=outd, metrics_dir=mdir, maintenance_dir=maint,
+    )
+    run_incremental_er_once(spark, src, ckpt, name="inc_er_sw1", **kw)
+    m1 = read_streaming_metrics(spark, mdir)
+    assert m1.agg(F.max("state_rows")).collect()[0][0] >= 3  # 3 blocks live
+
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(f"blk{b}", 10_000) for b in range(3)], "block_key string, ts bigint"
+    ).coalesce(1).write.mode("append").parquet(maint)
+    run_incremental_er_once(spark, src, ckpt, name="inc_er_sw2", **kw)
+    m2 = read_streaming_metrics(spark, mdir)
+    last = (
+        m2.where(F.col("query") == "inc_er_sw2")
+        .orderBy(F.desc("batch_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert last["state_rows"] == 0, last
+    ev = spark.read.parquet(outd)
+    assert ev.where(F.col("url").startswith("\x00")).count() == 0
+    assert ev.count() == 12

@@ -28,13 +28,17 @@ Shape and scale notes:
 - state is keyed by ``block_key`` (the same LSH/host blocking key the
   batch pipeline shuffles on); the shuffle is the one Spark already does
   to co-locate a key's rows with its state.
-- state holds one row per MEMBER (url, token string, cluster id) —
+- state holds one row per MEMBER (url, token string, cluster id, ts) —
   bounded by ``max_block_members`` (the incremental_dedup
   max_bucket_size discipline): beyond the cap new pages are still
   assigned and emitted, but not stored, so they cannot attract future
   attachments and per-batch cost stays O(cap). CC-parity is exact below
   the cap; above it the partition is a refinement (documented caveat,
-  cap lifted at test scale).
+  cap lifted at test scale). ``ts_col`` + ``retention_seconds`` add the
+  dedup twin's EVENT-TIME bound (members outside the trailing window
+  evict on touch; partition becomes the trailing-window refinement),
+  and maintenance sentinel rows sweep cold blocks, removing emptied
+  state rows — the same strict rate × window bound.
 - cluster merges re-emit the relabeled members as correction events;
   every event carries a per-block ``seq`` so the LAST event per url is
   its final assignment (``final_assignments``) — the append-mode log
@@ -61,10 +65,18 @@ OUTPUT_SCHEMA = (
     "url string, block_key string, cluster_id string, "
     "matched_score double, is_new boolean, seq bigint"
 )
-# one entry per member: url, space-joined sorted token string, cluster id
+# one entry per member: url, space-joined sorted token string, cluster
+# id, ingest ts. State schema v2 (tss landed with event-time retention);
+# a v1 checkpoint cannot resume against this build — start a fresh
+# checkpoint dir (the event OUTPUT is append-only parquet and survives).
 STATE_SCHEMA = (
-    "urls array<string>, reps array<string>, cids array<string>, seq bigint"
+    "urls array<string>, reps array<string>, cids array<string>, "
+    "tss array<bigint>, seq bigint"
 )
+
+#: sentinel url for maintenance rows (maintenance_touch_rows_er):
+#: touches a block_key so event-time eviction runs without assignment.
+MAINTENANCE_ID = "\x00__maintenance__"
 
 
 def _tanimoto(a: set, b: set) -> float:
@@ -72,9 +84,25 @@ def _tanimoto(a: set, b: set) -> float:
     return len(a & b) / u if u else 0.0
 
 
-def make_assigner(threshold: float = 0.5, max_block_members: int | None = None):
-    """Build the per-group stateful assigner (threshold and cap ride the
-    closure, like broadcast scalars)."""
+def make_assigner(
+    threshold: float = 0.5,
+    max_block_members: int | None = None,
+    retention_seconds: int | None = None,
+):
+    """Build the per-group stateful assigner (threshold / cap /
+    retention ride the closure, like broadcast scalars).
+
+    ``retention_seconds`` bounds state by EVENT TIME exactly like the
+    dedup twin (incremental_dedup.make_bucket_matcher): members whose
+    ingest ts falls outside ``row.ts − retention`` are evicted before
+    scoring, so a block's registry stays within its trailing-window
+    occupancy. Under retention the final partition is the
+    trailing-window form — components of the graph restricted to edges
+    whose older endpoint was still retained when the newer one arrived —
+    a refinement of batch CC (exact CC parity is the default
+    ``retention_seconds=None`` contract, which the oracle checks).
+    Maintenance rows (url == MAINTENANCE_ID) evict at their ts without
+    assigning, and a fully-evicted block's state row is REMOVED."""
 
     def assign(
         key: Tuple[Any, ...],
@@ -83,10 +111,13 @@ def make_assigner(threshold: float = 0.5, max_block_members: int | None = None):
     ) -> Iterator[pd.DataFrame]:
         block_key = key[0]
         if state.exists:
-            urls, reps, cids, seq = state.get
-            urls, reps, cids, seq = list(urls), list(reps), list(cids), int(seq)
+            urls, reps, cids, tss, seq = state.get
+            urls, reps, cids, tss = (
+                list(urls), list(reps), list(cids), list(tss)
+            )
+            seq = int(seq)
         else:
-            urls, reps, cids, seq = [], [], [], 0
+            urls, reps, cids, tss, seq = [], [], [], [], 0
         rep_sets = [set(r.split(" ")) if r else set() for r in reps]
 
         out = {
@@ -104,6 +135,17 @@ def make_assigner(threshold: float = 0.5, max_block_members: int | None = None):
             out["seq"].append(seq)
             seq += 1
 
+        def evict(now: int) -> None:
+            nonlocal urls, reps, cids, tss, rep_sets
+            cutoff = now - retention_seconds
+            keep = [i for i, t in enumerate(tss) if t >= cutoff]
+            if len(keep) != len(urls):
+                urls = [urls[i] for i in keep]
+                reps = [reps[i] for i in keep]
+                cids = [cids[i] for i in keep]
+                tss = [tss[i] for i in keep]
+                rep_sets = [rep_sets[i] for i in keep]
+
         # materialize ALL Arrow chunks before sorting: a group larger
         # than one Arrow batch arrives as several frames whose order is
         # shuffle-dependent — sorting each chunk independently would
@@ -113,8 +155,17 @@ def make_assigner(threshold: float = 0.5, max_block_members: int | None = None):
         chunks = list(pdfs)
         whole = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
         if len(whole):
-            pdf = whole.sort_values("url")
-            for url, toks in zip(pdf["url"], pdf["toks"]):
+            # event-time order when retention is on (eviction must see
+            # rows oldest-first); plain url order otherwise
+            sort_keys = ["ts", "url"] if retention_seconds is not None else ["url"]
+            pdf = whole.sort_values(sort_keys)
+            for url, toks, row_ts in zip(pdf["url"], pdf["toks"], pdf["ts"]):
+                if url == MAINTENANCE_ID:
+                    if retention_seconds is not None:
+                        evict(int(row_ts))
+                    continue
+                if retention_seconds is not None:
+                    evict(int(row_ts))
                 ts = set(toks) if toks is not None else set()
                 best_i, best_s = -1, -1.0
                 qual_cids: set[str] = set()
@@ -143,31 +194,71 @@ def make_assigner(threshold: float = 0.5, max_block_members: int | None = None):
                     urls.append(url)
                     reps.append(" ".join(sorted(ts)))
                     cids.append(cid)
+                    tss.append(int(row_ts))
                     rep_sets.append(ts)
                 emit(url, cid, float(score), is_new)
-        state.update((urls, reps, cids, seq))
+        if urls:
+            state.update((urls, reps, cids, tss, seq))
+        elif state.exists:
+            # fully evicted (maintenance sweep or retention): drop the
+            # state row so cold blocks stop occupying the store
+            state.remove()
         yield pd.DataFrame(out)
 
     return assign
+
+
+def maintenance_touch_rows_er(
+    blocks: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """(block_key[, ts]) → sentinel rows in the page-stream shape: union
+    these into the stream (``maintenance`` arg / ``maintenance_dir``) to
+    sweep cold block registries under retention."""
+    return blocks.select(
+        F.lit(MAINTENANCE_ID).alias("url"),
+        # the block_key is the STATE KEY — pin it non-nullable like the
+        # main chain's, or the union widens the state key schema and a
+        # resumed checkpoint rejects it
+        F.coalesce(F.col("block_key").cast("string"), F.lit("")).alias(
+            "block_key"
+        ),
+        F.array().cast("array<string>").alias("toks"),
+        F.coalesce(F.col(ts_col).cast("bigint"), F.lit(0).cast("bigint")).alias(
+            "ts"
+        ),
+    )
 
 
 def incremental_er_stream(
     pages: DataFrame,
     threshold: float = 0.5,
     max_block_members: int | None = None,
+    ts_col: str | None = None,
+    retention_seconds: int | None = None,
+    maintenance: DataFrame | None = None,
 ) -> DataFrame:
-    """pages stream (url, block_key, toks ARRAY<STRING>) →
+    """pages stream (url, block_key, toks ARRAY<STRING>[, ts]) →
     (url, block_key, cluster_id, matched_score, is_new, seq) append
     stream of ASSIGNMENT EVENTS (merge corrections re-emit members with
     a newer seq; reduce with ``final_assignments``).
 
     The member registry lives in per-block-key group state and persists
     across micro-batches (and across restarts via the checkpoint dir).
-    """
+    ``ts_col`` + ``retention_seconds`` bound it by event time;
+    ``maintenance`` (sentinel rows from maintenance_touch_rows_er)
+    sweeps cold blocks (see make_assigner)."""
+    ts = (
+        F.coalesce(F.col(ts_col).cast("bigint"), F.lit(0).cast("bigint"))
+        if ts_col
+        else F.lit(0).cast("bigint")
+    )
+    shaped = pages.select("url", "block_key", "toks", ts.alias("ts"))
+    if maintenance is not None:
+        shaped = shaped.unionByName(maintenance)
     return (
-        pages.groupBy("block_key")
+        shaped.groupBy("block_key")
         .applyInPandasWithState(
-            make_assigner(threshold, max_block_members),
+            make_assigner(threshold, max_block_members, retention_seconds),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
@@ -214,6 +305,9 @@ def run_incremental_er_once(
     schema: str | StructType = "url string, block_key string, toks array<string>",
     max_files_per_trigger: int = 1,
     max_block_members: int | None = None,
+    ts_col: str | None = None,
+    retention_seconds: int | None = None,
+    maintenance_dir: str | None = None,
     output_dir: str | None = None,
     metrics_dir: str | None = None,
     run_id: str | None = None,
@@ -247,7 +341,23 @@ def run_incremental_er_once(
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(source_dir)
         )
-        assigned = incremental_er_stream(stream, threshold, max_block_members)
+        maintenance = None
+        if maintenance_dir is not None:
+            # second file source of (block_key, ts) touch requests —
+            # appended between drains to sweep cold block registries
+            maintenance = maintenance_touch_rows_er(
+                spark.readStream.schema("block_key string, ts bigint")
+                .option("maxFilesPerTrigger", max_files_per_trigger)
+                .parquet(maintenance_dir)
+            )
+        assigned = incremental_er_stream(
+            stream,
+            threshold,
+            max_block_members,
+            ts_col=ts_col,
+            retention_seconds=retention_seconds,
+            maintenance=maintenance,
+        )
         if output_dir is not None:
             q = (
                 assigned.writeStream.format("parquet")
