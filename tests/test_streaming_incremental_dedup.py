@@ -371,3 +371,15 @@ def test_maintenance_sweep_bounds_state(spark, tmp_path):
     pairs = spark.read.parquet(outd)
     assert pairs.where(F.col("id_a").startswith("\x00")).count() == 0
     assert pairs.count() > 0
+
+
+def test_retention_without_ts_col_raises(spark):
+    """Same guard as the ER twin: retention_seconds without ts_col means
+    nothing ever evicts — fail loudly, not silently."""
+    import pytest
+
+    from whoiswho_spark.streaming.incremental_dedup import incremental_dedup_stream
+
+    docs = spark.createDataFrame([("d1", "a b c")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="ts_col"):
+        incremental_dedup_stream(docs, retention_seconds=60)

@@ -344,3 +344,17 @@ def test_incremental_er_maintenance_sweep_bounds_state(spark, tmp_path):
     ev = spark.read.parquet(outd)
     assert ev.where(F.col("url").startswith("\x00")).count() == 0
     assert ev.count() == 12
+
+
+def test_retention_without_ts_col_raises(spark):
+    """retention_seconds with no ts_col would silently disable eviction
+    (every row gets ts=0, negative cutoff) — must fail loudly instead."""
+    import pytest
+
+    from whoiswho_spark.streaming.incremental_er import incremental_er_stream
+
+    pages = spark.createDataFrame(
+        [("u1", "b1", ["x"])], "url string, block_key string, toks array<string>"
+    )
+    with pytest.raises(ValueError, match="ts_col"):
+        incremental_er_stream(pages, retention_seconds=60)

@@ -129,6 +129,56 @@ def _bucket_table_name(workdir: str, name: str) -> str:
     return f"wiws_{h}_{name}"
 
 
+_BUCKET_SPEC_FILE = "_bucket_spec.json"
+
+
+def _write_bucket_spec(
+    spark: SparkSession, path: str, bucket_col: str, n_buckets: int
+) -> None:
+    """Persist the bucket layout beside the data (Hadoop FS, so the spec
+    travels with the checkpoint on object stores too). Resume validates
+    against it: the files, not the caller's current config, are the truth
+    about how the parquet is clustered."""
+    import json
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/{_BUCKET_SPEC_FILE}")
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    out.write(
+        bytearray(
+            json.dumps({"bucket_col": bucket_col, "n_buckets": n_buckets}).encode()
+        )
+    )
+    out.close()
+
+
+def _read_bucket_spec(spark: SparkSession, path: str) -> dict | None:
+    import json
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/{_BUCKET_SPEC_FILE}")
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        # per-byte py4j reads: the spec is ~60 bytes, no classpath deps
+        data = bytearray()
+        b = stream.read()
+        while b != -1:
+            data.append(b)
+            b = stream.read()
+    finally:
+        stream.close()
+    try:
+        return json.loads(bytes(data).decode())
+    except ValueError:
+        return None
+
+
 def _ensure_bucket_table(
     spark: SparkSession, tbl: str, path: str, bucket_col: str, n_buckets: int
 ) -> None:
@@ -170,8 +220,29 @@ def stage_bucketed(
     path = f"{workdir}/{name}"
     tbl = _bucket_table_name(workdir, name)
     if resume and _success_exists(spark, path):
-        _ensure_bucket_table(spark, tbl, path, bucket_col, n_buckets)
-        persisted = spark.table(tbl)
+        spec = _read_bucket_spec(spark, path)
+        if spec == {"bucket_col": bucket_col, "n_buckets": n_buckets}:
+            _ensure_bucket_table(spark, tbl, path, bucket_col, n_buckets)
+            persisted = spark.table(tbl)
+        else:
+            # the checkpoint was written with a DIFFERENT layout (other
+            # bucket_stages config, or by plain stage() with no spec):
+            # registering CLUSTERED BY metadata the files don't satisfy
+            # would silently drop join matches (bucketed joins skip the
+            # Exchange) or fail with 'Invalid bucket file'. Fall back to
+            # a plain parquet read — correct, just with an Exchange —
+            # and drop any stale catalog entry so no one else trusts it.
+            import warnings
+
+            warnings.warn(
+                f"stage_bucketed('{name}'): checkpoint bucket spec {spec} "
+                f"!= requested ({bucket_col}, {n_buckets}); resuming as a "
+                "plain (unbucketed) parquet read",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            persisted = spark.read.parquet(path)
         try:
             have = (
                 read_metrics(spark, workdir)
@@ -196,6 +267,7 @@ def stage_bucketed(
         .option("path", path)
         .saveAsTable(tbl)
     )
+    _write_bucket_spec(spark, path, bucket_col, n_buckets)
     wall_ms = int((time.monotonic() - t0) * 1000)
     persisted = spark.table(tbl)
     append_metrics(spark, workdir, run_id, name, persisted, wall_ms)

@@ -127,8 +127,14 @@ def assign_pages(
         cand = fa_tok.join(fb_tok.join(F.broadcast(rare), "_k"), "_k").select(
             "url_new", "url_prof", "_title_new", "_title_prof"
         )
-        name_cand = fa.join(fb, "_nm").select(
-            "url_new", "url_prof", "_title_new", "_title_prof"
+        # degeneracy guard mirroring the token keys' length filter:
+        # titles that normalize to '' (or one char) would all share one
+        # _nm and form a single global join group — exactly the quadratic
+        # blow-up max_token_df exists to prevent
+        name_cand = (
+            fa.where(F.length("_nm") > 1)
+            .join(fb.where(F.length("_nm") > 1), "_nm")
+            .select("url_new", "url_prof", "_title_new", "_title_prof")
         )
         fuzzy_pairs = (
             cand.unionByName(name_cand)

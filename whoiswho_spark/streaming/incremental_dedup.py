@@ -255,6 +255,14 @@ def incremental_dedup_stream(
     seconds`` bound retention by event time; ``maintenance`` (sentinel
     rows from maintenance_touch_rows, batch or streaming) sweeps cold
     keys so the state bound is strict (see make_bucket_matcher)."""
+    if retention_seconds is not None and ts_col is None:
+        # ts defaults to 0 for every row → negative cutoff → no eviction:
+        # the event-time bound would be silently off (same guard as
+        # incremental_er_stream)
+        raise ValueError(
+            "retention_seconds requires ts_col: with no event-time column "
+            "every member gets ts=0 and retention never evicts"
+        )
     bucketed = minhash_stream_buckets(
         docs, text_col, id_col, num_hashes, rows_per_band, ts_col=ts_col
     )

@@ -47,6 +47,18 @@ Shape and scale notes:
 - within a micro-batch rows are processed in url order → deterministic
   assignments for a given file/batch split (the partition itself is
   order-independent; scores/labels of individual events are not).
+
+PRECONDITION — one block key per url: the registry is PER-BLOCK (state is
+keyed by ``block_key`` and blocks never see each other), so the batch-CC
+parity contract assumes each url is streamed under exactly ONE blocking
+key. Feed a url under several keys (as multi-band LSH blocking emits) and
+(a) batch CC would merge components ACROSS blocks sharing the url, which
+no per-block registry can do, and (b) ``final_assignments`` — which
+windows by url over the per-block seq — picks an arbitrary cross-block
+winner, since seq is only monotonic within a block. For multi-key
+blocking, pre-reduce to one canonical key per url (e.g. min band key, the
+batch pipeline's ownership discipline) or treat the output as a per-block
+partition and union downstream with batch CC over the cross-block edges.
 """
 
 from __future__ import annotations
@@ -247,6 +259,14 @@ def incremental_er_stream(
     ``ts_col`` + ``retention_seconds`` bound it by event time;
     ``maintenance`` (sentinel rows from maintenance_touch_rows_er)
     sweeps cold blocks (see make_assigner)."""
+    if retention_seconds is not None and ts_col is None:
+        # without a ts column every row gets ts=0, the eviction cutoff is
+        # negative, and nothing ever evicts — the caller would believe the
+        # event-time state bound is active when it is silently OFF
+        raise ValueError(
+            "retention_seconds requires ts_col: with no event-time column "
+            "every member gets ts=0 and retention never evicts"
+        )
     ts = (
         F.coalesce(F.col(ts_col).cast("bigint"), F.lit(0).cast("bigint"))
         if ts_col
