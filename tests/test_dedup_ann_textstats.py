@@ -711,3 +711,35 @@ def test_lsh_sharded_neardup_matches_lsh_join_plan(spark):
     # a hyperplane flip sign bits) — the standard planes↔recall trade;
     # fewer planes / multi-probe raise it at more candidate cost
     assert len(found) / len(exact) >= 0.7
+
+
+def test_blas_plans_accept_string_ids(spark):
+    """The _blas alternates derive the output id type from the input
+    schema (they used to hardcode bigint and crash on string-keyed
+    corpora while the sharded contract plans had been fixed)."""
+    from whoiswho_spark.operators.ann import (
+        brute_force_topk_blas,
+        embedding_neardup_pairs_blas,
+        sharded_neardup_pairs,
+        sharded_topk,
+    )
+
+    rs = np.random.RandomState(7)
+    vecs = rs.randn(30, 8)
+    vecs[5] = vecs[2]
+    df = spark.createDataFrame(
+        [(f"u{i:03d}", [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id string, embedding array<double>",
+    )
+    b = {(r["id_a"], r["id_b"], r["cos"])
+         for r in embedding_neardup_pairs_blas(df, threshold=0.3).collect()}
+    s = {(r["id_a"], r["id_b"], r["cos"])
+         for r in sharded_neardup_pairs(df, threshold=0.3, n_shards=4).collect()}
+    assert s == b and len(b) > 0
+
+    q = df.where("vec_id < 'u004'")
+    t1 = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+          for r in brute_force_topk_blas(q, df, k=3).collect()}
+    t2 = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+          for r in sharded_topk(q, df, k=3, n_shards=4).collect()}
+    assert t1 == t2 and len(t1) == 12

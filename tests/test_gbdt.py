@@ -158,3 +158,35 @@ def test_ensemble_vote_col_weighted_mean(spark):
         ensemble_vote_col(["s0"], [1.0, 2.0])
     with pytest.raises(ValueError):
         ensemble_vote_col(["s0", "s1"], [0.0, 0.0])
+
+
+def test_fit_sample_is_uniform_not_feature_ordered(spark):
+    """The bounded fit sample must not be the lexicographic head (which
+    would systematically take the smallest feature values — at scale,
+    e.g., all the label=0 rows) and must be a pure function of the data:
+    identical across partitionings, plan-stable as TakeOrderedAndProject."""
+    from whoiswho_spark.operators.gbdt import deterministic_fit_sample
+
+    # lexicographic head of (f, label) = rows 0..49, ALL label 0
+    df = spark.createDataFrame(
+        [(float(i), 1 if i >= 100 else 0) for i in range(200)],
+        "f double, label int",
+    )
+    s = deterministic_fit_sample(df, ["f", "label"], 50)
+    rows = {(r["f"], r["label"]) for r in s.collect()}
+    labels = {l for _, l in rows}
+    assert labels == {0, 1}, "hash-ordered sample must span both labels"
+    assert rows != {(float(i), 0) for i in range(50)}, "must not be the head"
+
+    # partitioning-invariant (the determinism contract)
+    rows2 = {
+        (r["f"], r["label"])
+        for r in deterministic_fit_sample(
+            df.repartition(7), ["f", "label"], 50
+        ).collect()
+    }
+    assert rows2 == rows
+
+    # still the cheap top-K physical plan, not a full sort
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan

@@ -386,9 +386,11 @@ def brute_force_topk_blas(
                     out["rank"].append(r)
             yield pd.DataFrame(out)
 
+    # id type follows the input schema, like the sharded contract plans
+    _idt = corpus.schema[id_col].dataType.simpleString()
     return queries.select(id_col, emb_col).mapInPandas(
         topk_batches,
-        schema="query_id bigint, neighbor_id bigint, cos double, rank int",
+        schema=f"query_id {_idt}, neighbor_id {_idt}, cos double, rank int",
     )
 
 
@@ -434,8 +436,10 @@ def embedding_neardup_pairs_blas(
                 }
             )
 
+    # id type follows the input schema, like the sharded contract plans
+    _idt = vectors.schema[id_col].dataType.simpleString()
     return vectors.select(id_col, emb_col).mapInPandas(
-        neardup_batches, schema="id_a bigint, id_b bigint, cos double"
+        neardup_batches, schema=f"id_a {_idt}, id_b {_idt}, cos double"
     )
 
 

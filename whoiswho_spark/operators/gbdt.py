@@ -105,6 +105,20 @@ def _predict_tree(tree: dict, X: np.ndarray) -> np.ndarray:
     return out
 
 
+def deterministic_fit_sample(
+    df: DataFrame, cols: list[str], n: int, seed: int = 42
+) -> DataFrame:
+    """Bounded deterministic UNIFORM sample: order by a seeded xxhash64
+    of the row and take the head (TakeOrderedAndProject — per-partition
+    top-K + merge, no full sort). The sampled multiset is a pure
+    function of the data and the seed, independent of partitioning or
+    task order, and — unlike an orderBy(cols) head — not biased toward
+    lexicographically small rows. Columns tie-break hash collisions so
+    the boundary stays deterministic."""
+    h = F.xxhash64(*[F.col(c) for c in cols], F.lit(seed))
+    return df.select(*cols).orderBy(h, *cols).limit(n)
+
+
 def fit_gbdt(
     pairs: DataFrame,
     feature_cols: list[str],
@@ -116,16 +130,26 @@ def fit_gbdt(
     reg_lambda: float = 1.0,
     min_child_weight: float = 1e-3,
     sample_n: int = 100_000,
+    sample_seed: int = 42,
 ) -> dict:
-    """Fit the boosted ensemble on a bounded deterministic sample —
-    ``orderBy(all columns).limit(sample_n)``, which Spark executes as
-    TakeOrderedAndProject (per-partition top-K + merge, no full sort),
-    so the sampled MULTISET is a pure function of the data: a bare
-    limit() returns whichever tasks answer first and would make the fit
-    (and the gbdt_scores DuckDB oracle) run-dependent whenever the input
-    exceeds the bound. Returns a plain-dict model artifact."""
+    """Fit the boosted ensemble on a bounded deterministic UNIFORM
+    sample — ``orderBy(xxhash64(row, seed)).limit(sample_n)``, which
+    Spark executes as TakeOrderedAndProject (per-partition top-K +
+    merge, no full sort), so the sampled MULTISET is a pure function of
+    the data: a bare limit() returns whichever tasks answer first and
+    would make the fit (and the gbdt_scores DuckDB oracle) run-dependent
+    whenever the input exceeds the bound. Ordering by the seeded hash
+    (not by the feature columns themselves) keeps the same physical plan
+    while sampling uniformly — a feature-ordered head would
+    systematically take the lexicographically smallest rows, a biased
+    training set at scale. The row columns tie-break hash collisions, so
+    the boundary is still deterministic. The DuckDB oracles re-fit from
+    the full parquet, which equals this fit whenever rows ≤ sample_n
+    (fit_gbdt_numpy is row-order-invariant).
+
+    Returns a plain-dict model artifact."""
     cols = [*feature_cols, label_col]
-    rows = pairs.select(*cols).orderBy(*cols).limit(sample_n).collect()
+    rows = deterministic_fit_sample(pairs, cols, sample_n, sample_seed).collect()
     X = np.asarray([[float(r[c]) for c in feature_cols] for r in rows])
     y = np.asarray([float(r[label_col]) for r in rows])
     return fit_gbdt_numpy(

@@ -18,7 +18,7 @@ single numpy GBDT (operators/gbdt.py), the honest one-engine analog,
 and lv2 is opt-in per cell exactly like ``has_lv2``.
 
 Spark-first shape: FITTING is a driver-side numpy loop over a bounded
-deterministic sample per fold (fit_gbdt's orderBy().limit() contract —
+deterministic sample per fold (fit_gbdt's seeded-hash-order limit() —
 k·|cells| small models, the same trade the reference makes running
 sklearn-style GBDTs on one node); INFERENCE is pure Catalyst — every
 fold model compiles to a when-cascade column (gbdt_score_col), fold
