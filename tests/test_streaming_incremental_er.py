@@ -358,3 +358,143 @@ def test_retention_without_ts_col_raises(spark):
     )
     with pytest.raises(ValueError, match="ts_col"):
         incremental_er_stream(pages, retention_seconds=60)
+
+
+def test_cap_hits_surface_counter_and_warning(spark, tmp_path):
+    """Blocks hitting max_block_members must be VISIBLE at run time: a
+    CAP_ID sentinel event per un-stored member, a RuntimeWarning, and
+    blocks_at_cap / cap_dropped_members rows in the run-counters table
+    (parity degradation must not live only in a docstring)."""
+    import warnings
+
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.plans.metrics import read_run_counters
+    from whoiswho_spark.streaming.incremental_er import (
+        CAP_ID,
+        final_assignments,
+        run_incremental_er_once,
+    )
+
+    src = str(tmp_path / "pages_capw")
+    mdir = str(tmp_path / "m_capw")
+    rows = [
+        ("c00", "blk", ["a", "b", "c", "d"]),
+        ("c01", "blk", ["a", "b", "c", "e"]),
+        ("c02", "blk", ["q", "r", "s", "t"]),   # at cap: not stored
+        ("c03", "blk", ["q", "r", "s", "z"]),   # at cap: not stored
+        ("d00", "blk2", ["x", "y"]),            # uncapped block: no hits
+    ]
+    spark.createDataFrame(
+        rows, "url string, block_key string, toks array<string>"
+    ).coalesce(1).write.mode("append").parquet(src)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        events = run_incremental_er_once(
+            spark, src, str(tmp_path / "ckpt_capw"), name="inc_er_capw",
+            threshold=0.5, max_block_members=2, metrics_dir=mdir,
+            run_id="rcap",
+        )
+        assert any("REFINEMENT" in str(x.message) for x in w)
+    # two sentinel events, one per un-stored member, naming the member
+    caps = events.where(F.col("url") == CAP_ID).collect()
+    assert {r["cluster_id"] for r in caps} == {"c02", "c03"}
+    assert all(r["matched_score"] == 2.0 for r in caps)  # registry size
+    # the counters lineage rows
+    c = {
+        r["key"]: r["value"]
+        for r in read_run_counters(spark, mdir).where(
+            F.col("query") == "inc_er_capw"
+        ).collect()
+    }
+    assert c == {"blocks_at_cap": 1, "cap_dropped_members": 2}
+    # sentinels are observability rows, not assignments
+    fin = final_assignments(events)
+    assert fin.where(F.col("url").startswith("\x00")).count() == 0
+    assert fin.count() == 5
+
+
+def test_retention_partition_equals_cc_over_retained_window(spark, tmp_path):
+    """The event-time retention contract, test-backed instead of
+    asserted: with retention ON and ts-ordered arrival, the final
+    partition equals batch connected components over the RESTRICTED
+    graph — only edges whose older endpoint was still retained when the
+    newer one arrived (ts_new − ts_old ≤ retention_seconds) — which is a
+    PROPER refinement of full batch CC whenever eviction actually splits
+    a chain. (Retention OFF is the exact-CC contract, gated by
+    test_incremental_er_matches_batch_partition.)"""
+    from pyspark.sql import functions as F
+
+    from whoiswho_spark.functions.similarity import tanimoto_col
+    from whoiswho_spark.operators.clustering import (
+        connected_components,
+        threshold_edges,
+    )
+    from whoiswho_spark.streaming.incremental_er import (
+        canonical_partition,
+        run_incremental_er_once,
+    )
+
+    retention = 100
+    # b1: a token chain (consecutive tan = 0.5) with ts gaps that cross
+    # the retention boundary at two places (Δ180) and sit ON it once
+    # (Δ100, kept: older endpoint exactly at the cutoff survives)
+    ts_b1 = [0, 60, 120, 300, 400, 460, 640, 700]
+    rows = [
+        (f"a{i}", "b1", [f"t{i}", f"t{i+1}", f"t{i+2}"], ts_b1[i])
+        for i in range(8)
+    ]
+    # b2: eviction prevents a MERGE — a2 would bridge a0 and a1 in full
+    # CC, but a0 is outside the window when a2 arrives
+    rows += [
+        ("m0", "b2", ["a", "b"], 0),
+        ("m1", "b2", ["c", "d"], 50),
+        ("m2", "b2", ["a", "b", "c", "d"], 120),
+    ]
+    schema = "url string, block_key string, toks array<string>, ts bigint"
+    docs = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "ret_stream")
+    docs.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(src)
+    events = run_incremental_er_once(
+        spark, src, str(tmp_path / "ckpt_ret"), name="inc_er_retpar",
+        threshold=0.5, schema=schema, ts_col="ts", retention_seconds=retention,
+    )
+    stream_part = {
+        (r["url"], r["cluster"]) for r in canonical_partition(events).collect()
+    }
+
+    a = docs.select("block_key", F.col("url").alias("url_a"),
+                    F.col("toks").alias("ta"), F.col("ts").alias("ts_a"))
+    b = docs.select("block_key", F.col("url").alias("url_b"),
+                    F.col("toks").alias("tb"), F.col("ts").alias("ts_b"))
+    scored = (
+        a.join(b, "block_key")
+        .where(F.col("url_a") < F.col("url_b"))
+        .select(
+            "url_a", "url_b",
+            tanimoto_col(F.col("ta"), F.col("tb")).alias("score"),
+            F.abs(F.col("ts_b") - F.col("ts_a")).alias("dts"),
+        )
+    )
+    full_cc = connected_components(
+        threshold_edges(scored, threshold=0.5), vertices=docs.select("url")
+    )
+    restricted_cc = connected_components(
+        threshold_edges(
+            scored.where(F.col("dts") <= retention), threshold=0.5
+        ),
+        vertices=docs.select("url"),
+    )
+    full_part = {(r["url"], r["cluster_id"]) for r in full_cc.collect()}
+    restr_part = {(r["url"], r["cluster_id"]) for r in restricted_cc.collect()}
+
+    assert stream_part == restr_part
+    assert stream_part != full_part  # the refinement is PROPER here
+    # and the splits are exactly where the ts gaps exceed retention
+    clusters = {}
+    for url, c in sorted(stream_part):
+        clusters.setdefault(c, []).append(url)
+    assert sorted(clusters.values()) == [
+        ["a0", "a1", "a2"], ["a3", "a4", "a5"], ["a6", "a7"],
+        ["m0"], ["m1", "m2"],
+    ]

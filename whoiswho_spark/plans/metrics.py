@@ -351,3 +351,35 @@ def read_streaming_metrics(spark: SparkSession, workdir: str) -> DataFrame:
     return spark.read.schema(STREAMING_METRICS_SCHEMA).parquet(
         f"{workdir}/metrics_streaming"
     )
+
+
+RUN_COUNTERS_SCHEMA = (
+    "run_id string, query string, key string, value bigint, ts timestamp"
+)
+
+
+def append_run_counters(
+    spark: SparkSession,
+    workdir: str,
+    run_id: str,
+    query: str,
+    counters: dict[str, int],
+) -> None:
+    """Append named per-run counters (key → value) to the lineage store —
+    the generic channel for operator-level observability the progress
+    events can't carry (e.g. the streaming-ER ``blocks_at_cap`` count:
+    applyInPandasWithState exposes no custom metrics to Python, so the
+    operator surfaces cap hits as sentinel events and the run helper
+    tallies them here). One row per key; read with read_run_counters."""
+    if not counters:
+        return
+    rows = [(run_id, query, k, int(v)) for k, v in sorted(counters.items())]
+    write_schema = RUN_COUNTERS_SCHEMA.rsplit(", ts timestamp", 1)[0]
+    df = spark.createDataFrame(rows, write_schema).withColumn(
+        "ts", F.current_timestamp()
+    )
+    df.coalesce(1).write.mode("append").parquet(f"{workdir}/counters")
+
+
+def read_run_counters(spark: SparkSession, workdir: str) -> DataFrame:
+    return spark.read.schema(RUN_COUNTERS_SCHEMA).parquet(f"{workdir}/counters")

@@ -90,6 +90,17 @@ STATE_SCHEMA = (
 #: touches a block_key so event-time eviction runs without assignment.
 MAINTENANCE_ID = "\x00__maintenance__"
 
+#: sentinel url for cap-hit events: emitted (never stored) whenever a
+#: member is assigned but NOT added to the registry because the block is
+#: at ``max_block_members`` — the runtime tell that the partition has
+#: degraded from exact batch-CC parity to a refinement for this block.
+#: Row shape: url=CAP_ID, cluster_id=the un-stored member's url,
+#: matched_score=the registry size (the cap). run_incremental_er_once
+#: tallies these into the run-counters table (``blocks_at_cap``,
+#: ``cap_dropped_members``) and warns; ``final_assignments`` filters the
+#: ``\x00`` sentinel namespace out of the reduced view.
+CAP_ID = "\x00__at_cap__"
+
 
 def _tanimoto(a: set, b: set) -> float:
     u = len(a | b)
@@ -110,9 +121,15 @@ def make_assigner(
     scoring, so a block's registry stays within its trailing-window
     occupancy. Under retention the final partition is the
     trailing-window form — components of the graph restricted to edges
-    whose older endpoint was still retained when the newer one arrived —
-    a refinement of batch CC (exact CC parity is the default
-    ``retention_seconds=None`` contract, which the oracle checks).
+    whose older endpoint was still retained when the newer one arrived
+    (ts_new − ts_old ≤ retention, for ts-ordered arrival) — a refinement
+    of batch CC (exact CC parity is the default
+    ``retention_seconds=None`` contract, which the oracle checks). Both
+    halves are test-backed: test_retention_partition_equals_cc_over_
+    retained_window pins the restricted-graph equality (and that the
+    refinement is proper when eviction splits a chain);
+    test_incremental_er_matches_batch_partition pins exact parity with
+    retention off.
     Maintenance rows (url == MAINTENANCE_ID) evict at their ts without
     assigning, and a fully-evicted block's state row is REMOVED."""
 
@@ -208,6 +225,13 @@ def make_assigner(
                     cids.append(cid)
                     tss.append(int(row_ts))
                     rep_sets.append(ts)
+                else:
+                    # cap hit: the page is assigned + emitted but NOT
+                    # stored — surface it as a sentinel event so parity
+                    # degradation is visible at run time, not only in
+                    # the docstring (cluster_id records WHICH member was
+                    # dropped; matched_score the registry size)
+                    emit(CAP_ID, url, float(len(urls)), False)
                 emit(url, cid, float(score), is_new)
         if urls:
             state.update((urls, reps, cids, tss, seq))
@@ -289,10 +313,13 @@ def incremental_er_stream(
 
 def final_assignments(events: DataFrame) -> DataFrame:
     """Reduce the assignment-event log to the final row per url (the
-    newest seq wins — merge corrections supersede earlier labels)."""
+    newest seq wins — merge corrections supersede earlier labels).
+    Sentinel events (``\\x00`` url namespace: cap hits) are excluded —
+    they are observability rows, not assignments."""
     w = Window.partitionBy("url").orderBy(F.desc("seq"))
     return (
-        events.withColumn("_rn", F.row_number().over(w))
+        events.where(~F.col("url").startswith("\x00"))
+        .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn", "seq")
     )
@@ -314,6 +341,42 @@ def canonical_partition(events: DataFrame) -> DataFrame:
     return fin.join(
         canon, fin["cluster_id"] == canon["_cid"]
     ).select("url", "block_key", "cluster")
+
+
+def _surface_cap_hits(
+    spark, events: DataFrame, name: str, metrics_dir: str | None, run_id: str | None
+) -> None:
+    """Tally CAP_ID sentinel events after a drain: warn when any block
+    hit max_block_members (the partition is now a refinement of batch CC
+    for those blocks — operators should see that at run time, not read
+    it in a docstring) and record ``blocks_at_cap`` /
+    ``cap_dropped_members`` in the run-counters lineage table. Counts
+    are cumulative over the event log (a resumed parquet sink holds
+    prior runs' events too)."""
+    import warnings
+
+    from whoiswho_spark.plans.metrics import append_run_counters, new_run_id
+
+    cap = events.where(F.col("url") == F.lit(CAP_ID))
+    agg = cap.agg(
+        F.count("*").alias("dropped"),
+        F.count_distinct("block_key").alias("blocks"),
+    ).collect()[0]
+    dropped, blocks = int(agg["dropped"]), int(agg["blocks"])
+    if dropped:
+        warnings.warn(
+            f"incremental_er[{name}]: {blocks} block(s) at max_block_members "
+            f"({dropped} member(s) assigned but not stored) — the final "
+            "partition is a REFINEMENT of batch connected components for "
+            "those blocks",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    if metrics_dir is not None:
+        append_run_counters(
+            spark, metrics_dir, run_id or new_run_id(), name,
+            {"blocks_at_cap": blocks, "cap_dropped_members": dropped},
+        )
 
 
 def run_incremental_er_once(
@@ -389,9 +452,13 @@ def run_incremental_er_once(
                 .start()
             )
             q.awaitTermination()
+            out = spark.read.parquet(output_dir)
+            _surface_cap_hits(
+                spark, out, name, metrics_dir, run_id
+            )
             if metrics_dir is not None:
                 append_streaming_metrics(spark, metrics_dir, run_id or new_run_id(), q)
-            return spark.read.parquet(output_dir)
+            return out
         q = (
             assigned.writeStream.format("memory")
             .queryName(name)
@@ -401,9 +468,11 @@ def run_incremental_er_once(
             .start()
         )
         q.awaitTermination()
+        out = spark.table(name)
+        _surface_cap_hits(spark, out, name, metrics_dir, run_id)
         if metrics_dir is not None:
             append_streaming_metrics(spark, metrics_dir, run_id or new_run_id(), q)
-        return spark.table(name)
+        return out
     finally:
         if prev_cap is not None:
             spark.conf.set(
