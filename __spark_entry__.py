@@ -885,6 +885,34 @@ def _q_incremental_er(spark, sf):
     return canonical_partition(spark.table(name))
 
 
+def _q_consensus_clusters(spark, sf):
+    """Consensus clustering ensemble (BOND ESB co-association voting,
+    autotrain_bond_ensemble.py:240-261 → operators/consensus.py): three
+    deterministic clusterings of the documents table — exact text, text
+    prefix, and a coarse (source, length-bucket) grouping — stacked as
+    (run_id, url, cluster_id); pairs co-clustered in a strict majority
+    (>0.5 of the 3 runs) are voted into the consensus graph and closed
+    with connected_components. Fully SQL-expressible: the oracle
+    replays the vote and a recursive-CTE closure in DuckDB."""
+    from whoiswho_spark.operators.consensus import consensus_clusters
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.md5("text").alias("r_exact"),
+        F.md5(F.lower(F.substring("text", 1, 64))).alias("r_prefix"),
+        F.concat_ws(
+            "|", F.col("source"), F.floor(F.length("text") / 32).cast("string")
+        ).alias("r_coarse"),
+    )
+    stacked = None
+    for run, col in (("exact", "r_exact"), ("prefix", "r_prefix"), ("coarse", "r_coarse")):
+        part = d.select(
+            F.lit(run).alias("run_id"), "url", F.col(col).alias("cluster_id")
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    return consensus_clusters(stacked)
+
+
 def _q_gbdt_scores(spark, sf):
     """GBDT ensemble scorer (§2.9): numpy histogram-boosted trees fit on
     a bounded deterministic sample, INFERENCE COMPILED TO A CATALYST
@@ -1033,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rnd_ensemble_scores": _q_rnd_ensemble_scores,
         "ego_graph_features": _q_ego_graph_features,
         "lsh_neardup": _q_lsh_neardup,
+        "consensus_clusters": _q_consensus_clusters,
     }
 
 
@@ -1812,6 +1841,44 @@ def oracle_sql() -> dict[str, str]:
         # ego_graph_features: author node sets = min-8-vec_id per (vec_id
         # % 10) author; kernel 0 closed form as in knrm_features (mu0 =
         # -0.975, sigma 0.1), pooled over the author's node set
+        # consensus_clusters: replay the three deterministic clusterings,
+        # count per-pair co-cluster agreement, vote strictly (>0.5 of 3
+        # runs), and close transitively with a recursive CTE — the same
+        # min-member canonical form as the incremental_er oracle. md5 /
+        # substr / length are byte-and-char identical across engines on
+        # this ASCII corpus.
+        "consensus_clusters": """
+            with recursive d as (
+                select cast(doc_id as varchar) as url,
+                       md5(text) as r_exact,
+                       md5(lower(substr(text, 1, 64))) as r_prefix,
+                       source || '|' ||
+                         cast(cast(floor(length(text) / 32) as bigint) as varchar)
+                         as r_coarse
+                from documents),
+            runs as (
+                select 'exact' as run_id, url, r_exact as cid from d
+                union all select 'prefix', url, r_prefix from d
+                union all select 'coarse', url, r_coarse from d),
+            voted as (
+                select a.url as url_a, b.url as url_b
+                from runs a join runs b
+                  on a.run_id = b.run_id and a.cid = b.cid and a.url < b.url
+                group by a.url, b.url
+                having count(*) > 0.5 * 3),
+            e as (
+                select url_a as src, url_b as dst from voted
+                union all
+                select url_b, url_a from voted),
+            reach(src, dst) as (
+                select url, url from d
+                union
+                select r.src, e.dst from reach r join e on r.dst = e.src),
+            part as (
+                select src as url, min(dst) as cluster_id
+                from reach group by src)
+            select url, cluster_id from part
+        """,
         "ego_graph_features": """
             with m as (
                 select cast(vec_id % 10 as varchar) as aid, vec_id, embedding,
