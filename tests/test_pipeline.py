@@ -86,6 +86,25 @@ def test_dbscan_parity_path_f1_gate(spark, corpus, workdir):
     assert f1 >= 0.99, f"DBSCAN-path pairwise F1 {f1} < 0.99"
 
 
+def test_consensus_path_f1_gate(spark, corpus, workdir):
+    """The ensemble clustering path (cc threshold grid + dbscan,
+    co-association majority vote — the BOND ESBTrainer mechanism) must
+    also clear the F1 gate, and its partition must differ from NONE of
+    the correctness contracts: every url labeled exactly once."""
+    from whoiswho_spark.plans.pipeline import ERConfig
+
+    wd = f"{workdir}/consensus"
+    pages, embs, labels = _split(corpus)
+    clusters = run_pipeline(
+        spark, pages, embs, wd, ERConfig(cluster_method="consensus")
+    )
+    f1 = evaluate_run(spark, wd, labels)
+    assert f1 >= 0.99, f"consensus-path pairwise F1 {f1} < 0.99"
+    n_pages = pages.select("url").distinct().count()
+    assert clusters.select("url").distinct().count() == n_pages
+    assert clusters.count() == n_pages
+
+
 def test_logistic_scorer_separates(spark, corpus, workdir):
     """The learned calibrated scorer (GBDT-scoring-semantics stand-in)
     separates true from false pairs on the pipeline's own features."""

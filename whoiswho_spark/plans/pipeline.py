@@ -50,12 +50,24 @@ class ERConfig:
     n_salts: int = 0  # 0 = plain self-join (AQE handles mid skew)
     threshold: float = POST_MATCH_THRESHOLD
     resume: bool = True
-    # 'cc'     → threshold graph + large-star/small-star (default, scales)
-    # 'dbscan' → per-block DBSCAN + post_match (reference-parity path,
-    #            AutoTrainSND.py:245-249; blocks must fit in a task)
+    # 'cc'        → threshold graph + large-star/small-star (default, scales)
+    # 'dbscan'    → per-block DBSCAN + post_match (reference-parity path,
+    #               AutoTrainSND.py:245-249; blocks must fit in a task)
+    # 'consensus' → co-association majority vote over the repo's own
+    #               clusterings: cc at a threshold grid (± consensus_spread
+    #               around cfg.threshold) plus the dbscan partition — the
+    #               BOND ESBTrainer ensemble (autotrain_bond_ensemble.py:
+    #               240-261) fed by relational engines instead of GNN
+    #               repeats (operators/consensus.py). NOTE a cc-only grid
+    #               is threshold-MONOTONE (same-cluster at τ ⊆ same-cluster
+    #               at τ−δ), so its majority is exactly the median run;
+    #               including dbscan is what makes the vote informative.
     cluster_method: str = "cc"
     dbscan_eps: float = 0.2
     dbscan_min_samples: int = 4
+    consensus_spread: float = 0.1
+    consensus_include_dbscan: bool = True
+    consensus_min_agree: float = 0.5
     # relational channel (dbscan path only): blend walk-embedding
     # distances with the semantic ones, (rel + w·sem)/(1+w) — the
     # reference's add_rel mode (AutoTrainSND.py:239-243)
@@ -181,7 +193,7 @@ def run_pipeline(
         cfg.resume,
     )
 
-    if cfg.cluster_method == "dbscan":
+    if cfg.cluster_method in ("dbscan", "consensus"):
 
         def _dbscan_clusters():
             from whoiswho_spark.operators.clustering import post_match
@@ -285,8 +297,43 @@ def run_pipeline(
             )
             return post_match(clusters0, pairs, outliers, cfg.threshold)
 
+        if cfg.cluster_method == "dbscan":
+            return M.stage(
+                spark, workdir, run_id, "clusters", _dbscan_clusters, cfg.resume
+            )
+
+        def _consensus_clusters():
+            from whoiswho_spark.operators.consensus import consensus_clusters
+
+            lo = max(0.05, cfg.threshold - cfg.consensus_spread)
+            hi = min(0.95, cfg.threshold + cfg.consensus_spread)
+            runs = []
+            for i, th in enumerate((lo, cfg.threshold, hi)):
+                cc = connected_components(
+                    threshold_edges(pairs, th),
+                    vertices=payload.select("url"),
+                    # per-threshold dirs: the checkpoint is keyed by the
+                    # input-edge checksum, so sharing one dir across the
+                    # grid would thrash it every run
+                    checkpoint_dir=f"{workdir}/cc_checkpoints_th{i}",
+                    resume=cfg.resume,
+                )
+                runs.append(
+                    cc.select(F.lit(f"th{i}").alias("run_id"), "url", "cluster_id")
+                )
+            if cfg.consensus_include_dbscan:
+                runs.append(
+                    _dbscan_clusters().select(
+                        F.lit("dbscan").alias("run_id"), "url", "cluster_id"
+                    )
+                )
+            stacked = runs[0]
+            for r in runs[1:]:
+                stacked = stacked.unionByName(r)
+            return consensus_clusters(stacked, min_agree=cfg.consensus_min_agree)
+
         return M.stage(
-            spark, workdir, run_id, "clusters", _dbscan_clusters, cfg.resume
+            spark, workdir, run_id, "clusters", _consensus_clusters, cfg.resume
         )
 
     clusters = M.stage(
