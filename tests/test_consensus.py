@@ -169,3 +169,31 @@ def test_consensus_over_threshold_grid(spark):
     n_tight = grid[2].select("cluster_id").distinct().count()
     n_cons = cons.select("cluster_id").distinct().count()
     assert n_loose <= n_cons <= n_tight
+
+
+def test_consensus_identity_and_median_laws(spark):
+    """Two algebraic laws: (1) consensus of K copies of one clustering is
+    that clustering (canonicalized to min member); (2) over a MONOTONE
+    run family (same-cluster at tighter ⊆ same-cluster at looser, as a
+    cc threshold grid produces) the strict majority of an odd K equals
+    the MEDIAN run — the reason the pipeline's consensus path includes
+    dbscan rather than voting a cc-only grid."""
+    from whoiswho_spark.operators.consensus import consensus_clusters
+
+    base = {f"u{i:02d}": f"c{i // 4}" for i in range(24)}
+    runs = {f"r{k}": dict(base) for k in range(3)}
+    stacked = _stack(spark, runs)
+    part = {
+        r["url"]: r["cluster_id"] for r in consensus_clusters(stacked).collect()
+    }
+    want = {u: min(v for v, c2 in base.items() if c2 == c) for u, c in base.items()}
+    assert part == want
+
+    # monotone family: loose merges pairs of base clusters, tight splits
+    loose = {u: f"m{int(c[1:]) // 2}" for u, c in base.items()}      # coarser
+    tight = {u: f"{c}_{0 if int(u[1:]) % 4 < 2 else 1}" for u, c in base.items()}  # finer
+    med = consensus_clusters(
+        _stack(spark, {"lo": loose, "mid": base, "hi": tight})
+    )
+    med_part = {r["url"]: r["cluster_id"] for r in med.collect()}
+    assert med_part == want  # the median (base) partition, canonicalized

@@ -743,3 +743,18 @@ def test_blas_plans_accept_string_ids(spark):
     t2 = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
           for r in sharded_topk(q, df, k=3, n_shards=4).collect()}
     assert t1 == t2 and len(t1) == 12
+
+
+def test_ngram_prefix_plan_empty_and_tiny_inputs(spark):
+    """Edge cases of the int-rank prefix plan: empty corpus (empty rank
+    table through repartitionByRange), all-empty texts, and a single
+    doc — no crash, empty result."""
+    from whoiswho_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    schema = "doc_id bigint, source string, text string"
+    empty = spark.createDataFrame([], schema)
+    assert ngram_jaccard_pairs_prefix(empty, block_col="source").count() == 0
+    blank = spark.createDataFrame([(1, "b", ""), (2, "b", " ")], schema)
+    assert ngram_jaccard_pairs_prefix(blank, block_col="source").count() == 0
+    single = spark.createDataFrame([(1, "b", "alpha beta")], schema)
+    assert ngram_jaccard_pairs_prefix(single, block_col="source").count() == 0

@@ -350,6 +350,10 @@ def _dense_token_ranks(df_tbl: DataFrame, n_parts: int | None = None) -> DataFra
         r["_p"]: r["n"]
         for r in local.groupBy("_p").agg(F.count("*").alias("n")).collect()
     }
+    if not counts:
+        # empty vocab: create_map() with zero args types as map<void,void>
+        # and fails analysis — the (empty) local frame is already correct
+        return local.select("tok", F.col("_rn").cast("long").alias("rk"))
     offsets, acc = {}, 0
     for p in sorted(counts):
         offsets[p] = acc
