@@ -405,7 +405,13 @@ def ngram_jaccard_pairs_prefix(
     (carrying both prefix arrays through the meet join exploded the
     shuffle width: 12 s vs the 1.2 s narrow distinct it was meant to
     remove — the minhash trick works there because band buckets are a
-    FIXED-WIDTH row, not variable-length arrays).
+    FIXED-WIDTH row, not variable-length arrays). A third — PPJoin's
+    ASYMMETRIC prefixes (2τ/(1+τ) index prefix on the size-ordered
+    smaller side, ~32% fewer meet rows at τ=0.5) — measured result-
+    identical but NOT faster (2.82 s vs 2.78 s): the second explode
+    pass and the wider size-orientation predicate eat the meet savings
+    on a size-homogeneous corpus; revisit only if doc sizes become
+    heavy-tailed.
     """
     t = df.select(
         F.col(block_col).alias("block"),
