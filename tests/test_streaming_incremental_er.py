@@ -498,3 +498,60 @@ def test_retention_partition_equals_cc_over_retained_window(spark, tmp_path):
         ["a0", "a1", "a2"], ["a3", "a4", "a5"], ["a6", "a7"],
         ["m0"], ["m1", "m2"],
     ]
+
+
+def test_multi_key_blocking_global_partition_matches_batch(spark, tmp_path):
+    """Lifting the one-block-key-per-url precondition: stream every url
+    under BOTH of its LSH-style band keys, then merge the per-block
+    partitions with global_partition — the result must equal batch CC
+    over the union of all blocks' ≥τ tanimoto graphs (which merges
+    components ACROSS blocks through shared urls, something no
+    per-block registry can do alone)."""
+    from pyspark.sql import functions as F
+
+    from whoiswho_spark.functions.similarity import tanimoto_col
+    from whoiswho_spark.operators.clustering import (
+        connected_components,
+        threshold_edges,
+    )
+    from whoiswho_spark.operators.dedup import tokens_col
+    from whoiswho_spark.streaming.incremental_er import (
+        global_partition,
+        run_incremental_er_once,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("source").alias("b1"),
+        # second, coarser band key: urls in different sources can share it
+        (F.crc32(F.col("source")) % 7).cast("string").alias("b2"),
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    )
+    multi = docs.select(
+        "url", F.explode(F.array("b1", "b2")).alias("block_key"), "toks"
+    )
+    src = str(tmp_path / "mk_stream")
+    multi.repartition(3).write.mode("overwrite").parquet(src)
+    events = run_incremental_er_once(
+        spark, src, str(tmp_path / "ckpt_mk"), name="inc_er_mk", threshold=0.5,
+    )
+    stream_part = {
+        (r["url"], r["cluster_id"])
+        for r in global_partition(
+            events, vertices=docs.select("url")
+        ).collect()
+    }
+
+    a = multi.select("block_key", F.col("url").alias("url_a"), F.col("toks").alias("ta"))
+    b = multi.select("block_key", F.col("url").alias("url_b"), F.col("toks").alias("tb"))
+    scored = (
+        a.join(b, "block_key")
+        .where(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b", tanimoto_col(F.col("ta"), F.col("tb")).alias("score"))
+    )
+    cc = connected_components(
+        threshold_edges(scored, threshold=0.5), vertices=docs.select("url")
+    )
+    batch_part = {(r["url"], r["cluster_id"]) for r in cc.collect()}
+    assert len(stream_part) == docs.count()
+    assert stream_part == batch_part

@@ -56,9 +56,11 @@ key. Feed a url under several keys (as multi-band LSH blocking emits) and
 no per-block registry can do, and (b) ``final_assignments`` — which
 windows by url over the per-block seq — picks an arbitrary cross-block
 winner, since seq is only monotonic within a block. For multi-key
-blocking, pre-reduce to one canonical key per url (e.g. min band key, the
-batch pipeline's ownership discipline) or treat the output as a per-block
-partition and union downstream with batch CC over the cross-block edges.
+blocking use ``global_partition`` — it reduces per-(url, block) finals
+and merges the per-block partitions with connected components, restoring
+exact batch parity over the union of the blocks' ≥τ graphs — or
+pre-reduce to one canonical key per url (a coarser blocking, documented
+recall trade).
 """
 
 from __future__ import annotations
@@ -323,6 +325,65 @@ def final_assignments(events: DataFrame) -> DataFrame:
         .where(F.col("_rn") == 1)
         .drop("_rn", "seq")
     )
+
+
+def final_assignments_per_block(events: DataFrame) -> DataFrame:
+    """Final row per (url, block_key) — the multi-key-blocking form of
+    ``final_assignments`` (seq is monotonic per block, so the global
+    per-url window is only valid under the one-key-per-url
+    precondition; this window is always valid)."""
+    w = Window.partitionBy("url", "block_key").orderBy(F.desc("seq"))
+    return (
+        events.where(~F.col("url").startswith("\x00"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "seq")
+    )
+
+
+def global_partition(
+    events: DataFrame, vertices: DataFrame | None = None
+) -> DataFrame:
+    """Multi-key blocking composition (lifts the module docstring's
+    one-block-key-per-url PRECONDITION): when a url is streamed under
+    SEVERAL blocking keys (as multi-band LSH emits), each block's
+    registry resolves its own partition; this helper merges them into
+    the global one — per-(url, block) final assignments → co-membership
+    edges (url ↔ min member of its block cluster, the dbscan path's
+    merge idiom) → ``connected_components``.
+
+    Equality contract: each block's streamed partition equals batch CC
+    of that block's ≥τ graph (the module contract), and CC of the union
+    of per-block co-membership edge sets equals CC of the union of the
+    blocks' ≥τ graphs — so this output equals the BATCH pipeline's
+    partition over multi-key blocking (pytest
+    test_multi_key_blocking_global_partition_matches_batch)."""
+    fin = final_assignments_per_block(events)
+    # alias the grouping keys before the self-join (the canonical_partition
+    # workaround: both branches would otherwise share attribute ids)
+    canon = (
+        fin.select(
+            F.col("block_key").alias("_bk"),
+            F.col("cluster_id").alias("_cid"),
+            "url",
+        )
+        .groupBy("_bk", "_cid")
+        .agg(F.min("url").alias("_root"))
+    )
+    edges = (
+        fin.join(
+            canon,
+            (fin["block_key"] == canon["_bk"])
+            & (fin["cluster_id"] == canon["_cid"]),
+        )
+        .where(F.col("url") != F.col("_root"))
+        .select(F.col("url").alias("src"), F.col("_root").alias("dst"))
+    )
+    from whoiswho_spark.operators.clustering import connected_components
+
+    if vertices is None:
+        vertices = fin.select("url").distinct()
+    return connected_components(edges, vertices=vertices)
 
 
 def canonical_partition(events: DataFrame) -> DataFrame:
