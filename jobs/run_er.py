@@ -30,6 +30,13 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--bands", type=int, default=4)
     ap.add_argument("--num-hashes", type=int, default=8)
     ap.add_argument("--block-cap", type=int, default=5000)
+    ap.add_argument(
+        "--cluster-method",
+        choices=("cc", "dbscan", "consensus"),
+        default="cc",
+        help="cc (default), dbscan (+post_match reference-parity path), "
+        "or consensus (cc threshold grid + dbscan, co-association vote)",
+    )
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args(argv)
 
@@ -44,6 +51,7 @@ def main(argv: list[str]) -> int:
         block_cap=args.block_cap,
         n_salts=args.salts,
         threshold=args.threshold,
+        cluster_method=args.cluster_method,
         resume=not args.no_resume,
     )
     pages = spark.read.parquet(args.pages)

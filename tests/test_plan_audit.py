@@ -108,3 +108,26 @@ def test_simhash_adaptive_plan_regimes(spark):
     tight_plan = tight._jdf.queryExecution().executedPlan().toString()
     assert "Generate explode" in tight_plan  # chunk meet
     assert "CartesianProduct" not in tight_plan
+
+
+def test_consensus_agreement_meets_on_run_cluster_key(spark):
+    """The co-association expansion must meet on (run_id, cluster_id) —
+    quadratic only WITHIN a cluster, never a cartesian across the input —
+    and the vote must be a single hash aggregate on the pair key."""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.consensus import coassociation_edges
+
+    runs = spark.createDataFrame(
+        [(f"r{k}", f"u{i}", f"c{i // 5}") for k in range(3) for i in range(50)],
+        "run_id string, url string, cluster_id string",
+    )
+    df = coassociation_edges(runs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the self-join is keyed (sort-merge or hash on the run+cluster key)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
+    assert df.count() > 0
