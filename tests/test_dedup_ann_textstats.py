@@ -758,3 +758,35 @@ def test_ngram_prefix_plan_empty_and_tiny_inputs(spark):
     assert ngram_jaccard_pairs_prefix(blank, block_col="source").count() == 0
     single = spark.createDataFrame([(1, "b", "alpha beta")], schema)
     assert ngram_jaccard_pairs_prefix(single, block_col="source").count() == 0
+
+
+def test_dense_token_ranks_match_global_window(spark):
+    """The distributed dense rank (range partition + local row_number +
+    driver offsets) must equal the single-window global rank for any
+    partitioning — including n_parts larger than the vocabulary."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from whoiswho_spark.operators.dedup import _dense_token_ranks
+
+    rng = random.Random(11)
+    rows = [
+        (f"tok{i:03d}", rng.randint(1, 40)) for i in range(137)
+    ]
+    df_tbl = spark.createDataFrame(rows, "tok string, _df long")
+    want = {
+        r["tok"]: r["rk"]
+        for r in df_tbl.select(
+            "tok",
+            F.row_number().over(Window.orderBy("_df", "tok")).alias("rk"),
+        ).collect()
+    }
+    for n_parts in (1, 5, 300):
+        got = {
+            r["tok"]: r["rk"]
+            for r in _dense_token_ranks(
+                df_tbl.repartition(7), n_parts=n_parts
+            ).collect()
+        }
+        assert got == want, n_parts

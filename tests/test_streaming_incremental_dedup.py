@@ -295,12 +295,20 @@ def test_incremental_dedup_bucket_cap_bounds_state(spark, tmp_path):
         [_docs(i, same) for i in range(4)], schema
     ).coalesce(1).write.mode("append").parquet(src)
 
-    streamed = run_incremental_dedup_once(
-        spark, src, str(tmp_path / "ckpt3"), name="inc_dd_t3", max_bucket_size=2
+    import warnings
+
+    from whoiswho_spark.streaming.incremental_dedup import (
+        distinct_candidate_pairs,
     )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # cap warning expected
+        streamed = run_incremental_dedup_once(
+            spark, src, str(tmp_path / "ckpt3"), name="inc_dd_t3", max_bucket_size=2
+        )
     pairs = {
         (r["id_a"], r["id_b"])
-        for r in streamed.dropDuplicates(["id_a", "id_b"]).collect()
+        for r in distinct_candidate_pairs(streamed).collect()
     }
     # d002/d003 each pair with retained d000,d001; the (d002,d003) pair
     # is the documented under-report for over-cap boilerplate buckets
@@ -383,3 +391,49 @@ def test_retention_without_ts_col_raises(spark):
     docs = spark.createDataFrame([("d1", "a b c")], "doc_id string, text string")
     with pytest.raises(ValueError, match="ts_col"):
         incremental_dedup_stream(docs, retention_seconds=60)
+
+
+def test_dedup_cap_hits_surface_counter_and_warning(spark, tmp_path):
+    """The dedup twin of the ER cap observability: buckets hitting
+    max_bucket_size emit a CAP_ID sentinel per un-stored doc, the drain
+    warns, and buckets_at_cap / cap_dropped_members land in the
+    run-counters table; distinct_candidate_pairs excludes sentinels."""
+    import warnings
+
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.plans.metrics import read_run_counters
+    from whoiswho_spark.streaming.incremental_dedup import (
+        CAP_ID,
+        distinct_candidate_pairs,
+        run_incremental_dedup_once,
+    )
+
+    src = str(tmp_path / "docs_capw")
+    mdir = str(tmp_path / "m_capw")
+    schema = "doc_id string, text string"
+    same = ["same", "text", "every", "time"]
+    spark.createDataFrame(
+        [_docs(i, same) for i in range(4)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        streamed = run_incremental_dedup_once(
+            spark, src, str(tmp_path / "ckpt_capw"), name="inc_dd_capw",
+            max_bucket_size=2, metrics_dir=mdir, run_id="rcapd",
+        )
+        assert any("UNDER-REPORTED" in str(x.message) for x in w)
+    caps = streamed.where(F.col("id_a") == CAP_ID)
+    # d002 and d003 hit the cap in every band's bucket (2 bands)
+    assert {r["id_b"] for r in caps.collect()} == {"d002", "d003"}
+    assert caps.count() == 4  # 2 docs × 2 band buckets
+    c = {
+        r["key"]: r["value"]
+        for r in read_run_counters(spark, mdir).where(
+            F.col("query") == "inc_dd_capw"
+        ).collect()
+    }
+    assert c == {"buckets_at_cap": 2, "cap_dropped_members": 4}
+    assert distinct_candidate_pairs(streamed).where(
+        F.col("id_a").startswith("\x00")
+    ).count() == 0

@@ -62,6 +62,16 @@ STATE_SCHEMA = "ids array<string>, sigs array<string>, tss array<bigint>"
 #: through the parquet sources.
 MAINTENANCE_ID = "\x00__maintenance__"
 
+#: sentinel id_a for cap-hit rows: emitted (never stored) whenever a doc
+#: pairs at a bucket already holding ``max_bucket_size`` members — the
+#: runtime tell that later pairs against this doc are UNDER-REPORTED for
+#: this bucket. Row shape: id_a=CAP_ID, id_b=the un-stored doc,
+#: est_jaccard=the bucket size. run_incremental_dedup_once tallies these
+#: into the run-counters table (``buckets_at_cap``,
+#: ``cap_dropped_members``) and warns; reduce pair output with
+#: ``distinct_candidate_pairs`` (filters the ``\x00`` namespace).
+CAP_ID = "\x00__at_cap__"
+
 
 def minhash_stream_buckets(
     docs: DataFrame,
@@ -206,6 +216,17 @@ def make_bucket_matcher(
                     ids.append(doc_id)
                     sigs.append(sig)
                     tss.append(int(ts))
+                else:
+                    # cap hit: the doc paired with the retained members
+                    # but is NOT stored — future docs can't pair with it
+                    # (the documented under-report). Surface it as a
+                    # sentinel row (ER-twin discipline): id_b names the
+                    # dropped doc, est_jaccard carries the bucket size.
+                    out["id_a"].append(CAP_ID)
+                    out["id_b"].append(doc_id)
+                    out["band"].append(band)
+                    out["bucket"].append(bucket)
+                    out["est_jaccard"].append(float(len(ids)))
                 known.add(doc_id)
         if ids:
             state.update((ids, sigs, tss))
@@ -275,6 +296,52 @@ def incremental_dedup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def distinct_candidate_pairs(pairs: DataFrame) -> DataFrame:
+    """Reduce the streamed per-band pair log to the distinct candidate
+    pair set: drops the ``\\x00`` sentinel namespace (cap-hit
+    observability rows) and dedupes across bands — the form that equals
+    batch ``minhash_dup_pairs`` output pairs."""
+    return (
+        pairs.where(~F.col("id_a").startswith("\x00"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _surface_cap_hits_dedup(
+    spark, pairs: DataFrame, name: str, metrics_dir: str | None, run_id: str | None
+) -> None:
+    """Tally CAP_ID sentinel rows after a drain (the ER twin's
+    discipline): warn when any bucket hit max_bucket_size — pairs
+    against the un-stored docs are under-reported from then on — and
+    record ``buckets_at_cap`` / ``cap_dropped_members`` in the
+    run-counters lineage table. Cumulative over the pair log."""
+    import warnings
+
+    from whoiswho_spark.plans.metrics import append_run_counters, new_run_id
+
+    cap = pairs.where(F.col("id_a") == F.lit(CAP_ID))
+    agg = cap.agg(
+        F.count("*").alias("dropped"),
+        F.count_distinct("band", "bucket").alias("buckets"),
+    ).collect()[0]
+    dropped, buckets = int(agg["dropped"]), int(agg["buckets"])
+    if dropped:
+        warnings.warn(
+            f"incremental_dedup[{name}]: {buckets} bucket(s) at "
+            f"max_bucket_size ({dropped} doc(s) paired but not stored) — "
+            "future pairs against those docs are UNDER-REPORTED for those "
+            "buckets",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    if metrics_dir is not None:
+        append_run_counters(
+            spark, metrics_dir, run_id or new_run_id(), name,
+            {"buckets_at_cap": buckets, "cap_dropped_members": dropped},
+        )
 
 
 def run_incremental_dedup_once(
@@ -350,9 +417,11 @@ def run_incremental_dedup_once(
                 .start()
             )
             q.awaitTermination()
+            out = spark.read.parquet(output_dir)
+            _surface_cap_hits_dedup(spark, out, name, metrics_dir, run_id)
             if metrics_dir is not None:
                 append_streaming_metrics(spark, metrics_dir, run_id or new_run_id(), q)
-            return spark.read.parquet(output_dir)
+            return out
         q = (
             pairs.writeStream.format("memory")
             .queryName(name)
@@ -362,9 +431,11 @@ def run_incremental_dedup_once(
             .start()
         )
         q.awaitTermination()
+        out = spark.table(name)
+        _surface_cap_hits_dedup(spark, out, name, metrics_dir, run_id)
         if metrics_dir is not None:
             append_streaming_metrics(spark, metrics_dir, run_id or new_run_id(), q)
-        return spark.table(name)
+        return out
     finally:
         if prev_cap is not None:
             spark.conf.set(
