@@ -804,7 +804,14 @@ def _q_incremental_dedup(spark, sf):
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).select("id_a", "id_b").distinct()
+    # the contract reducer: drops the \x00 sentinel namespace (cap-hit
+    # observability rows — none fire at this uncapped test scale, but the
+    # filter keeps the oracle immune by construction) + cross-band dedupe
+    from whoiswho_spark.streaming.incremental_dedup import (
+        distinct_candidate_pairs,
+    )
+
+    return distinct_candidate_pairs(spark.table(name))
 
 
 def _q_bond_threshold_edges(spark, sf):
