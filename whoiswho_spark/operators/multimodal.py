@@ -3,10 +3,11 @@
 The decode stage is a REAL, dependency-free container-header parser —
 PNG (IHDR), JPEG (SOF-family marker scan), GIF (logical screen
 descriptor) — so width/height/media-type extraction needs no PIL/ffmpeg.
-Pixel-level work (resize, feature extraction, frame sampling) would slot
-into the same mapInPandas stage on a cluster with the codec libraries;
-the Spark-side contract (schema, Arrow batch shape, partitioning) is
-identical either way.
+Pixel-level work is REAL for PNG (operators/png_codec.py: stdlib-zlib
+decoder + png_pixel_stats mapInPandas stage — no codec libraries
+needed); JPEG/GIF pixel decode would slot into the same stage on a
+cluster with the codec libraries; the Spark-side contract (schema,
+Arrow batch shape, partitioning) is identical either way.
 """
 
 from __future__ import annotations
