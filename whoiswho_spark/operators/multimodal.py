@@ -4,10 +4,11 @@ The decode stage is a REAL, dependency-free container-header parser —
 PNG (IHDR), JPEG (SOF-family marker scan), GIF (logical screen
 descriptor) — so width/height/media-type extraction needs no PIL/ffmpeg.
 Pixel-level work is REAL for PNG (operators/png_codec.py: stdlib-zlib
-decoder + png_pixel_stats mapInPandas stage — no codec libraries
-needed); JPEG/GIF pixel decode would slot into the same stage on a
-cluster with the codec libraries; the Spark-side contract (schema,
-Arrow batch shape, partitioning) is identical either way.
+decoder) and GIF (operators/gif_codec.py: pure-Python LZW), dispatched
+in the image_pixel_stats mapInPandas stage — no codec libraries needed.
+JPEG pixel decode would slot into the same stage on a cluster with
+libjpeg; the Spark-side contract (schema, Arrow batch shape,
+partitioning) is identical either way.
 """
 
 from __future__ import annotations
@@ -140,6 +141,62 @@ def synthetic_media_payload_col(kind_col, width_col, height_col):
     gif_hex = F.concat(F.lit("474946383961"), le2(width_col), le2(height_col))
     return F.unhex(
         F.when(kind_col == 0, png_hex).when(kind_col == 1, jpg_hex).otherwise(gif_hex)
+    )
+
+
+def image_pixel_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL pixel statistics for the decodable containers — PNG
+    (png_codec: stdlib zlib + unfilters) and GIF (gif_codec: pure-Python
+    LZW), dispatched by signature inside one mapInPandas stage. Emits
+    (doc_id, media_type, width, height, channels, px_mean, px_std,
+    px_min, px_max); payloads that are neither (JPEG — Huffman-DCT stays
+    codec-gated) or are malformed yield no row, so `anti-join against
+    parse_media_header` audits exactly what was skipped."""
+    from whoiswho_spark.operators.gif_codec import decode_gif
+    from whoiswho_spark.operators.png_codec import decode_png
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "media_type", "width", "height", "channels",
+                "px_mean", "px_std", "px_min", "px_max",
+            )}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    if raw.startswith(_PNG_SIG):
+                        arr, mt = decode_png(raw), "image/png"
+                    elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                        arr, mt = decode_gif(raw), "image/gif"
+                    else:
+                        continue
+                except ValueError:
+                    continue
+                h, w, ch = arr.shape
+                out["doc_id"].append(int(did))
+                out["media_type"].append(mt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["px_mean"].append(round(float(arr.mean()), 6))
+                out["px_std"].append(round(float(arr.std()), 6))
+                out["px_min"].append(int(arr.min()))
+                out["px_max"].append(int(arr.max()))
+            yield pd.DataFrame(out)
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), payload_col
+    ).mapInPandas(
+        stats,
+        schema=(
+            "doc_id bigint, media_type string, width int, height int, "
+            "channels int, px_mean double, px_std double, px_min int, "
+            "px_max int"
+        ),
     )
 
 
