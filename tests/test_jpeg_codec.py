@@ -1,0 +1,151 @@
+"""Baseline-JPEG codec: the bitstream layer (markers, Huffman, bit
+packing, byte stuffing, DC prediction, zigzag) is gated EXACTLY by
+recomputing the expected pixels from the mathematical pipeline alone —
+no bitstream — and requiring decode(encode(x)) to match byte-for-byte.
+The shared lossy math is sanity-bounded by PSNR on smooth images."""
+
+import numpy as np
+import pytest
+
+from whoiswho_spark.operators.jpeg_codec import (
+    QUANT_CHROMA,
+    QUANT_LUMA,
+    _pad_edge,
+    decode_jpeg,
+    encode_jpeg,
+    idct2,
+    quantize_blocks,
+    rgb_to_ycbcr,
+    ycbcr_to_rgb,
+)
+
+
+def _expected(arr: np.ndarray) -> np.ndarray:
+    """The no-bitstream twin of encode→decode: identical math, zero
+    entropy coding — any divergence isolates a bitstream bug."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+        quants = [QUANT_LUMA]
+    else:
+        ycc = rgb_to_ycbcr(arr)
+        planes = [ycc[..., i] for i in range(3)]
+        quants = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
+    recon = []
+    for p, q in zip(planes, quants):
+        cf = quantize_blocks(_pad_edge(p) - 128.0, q)
+        by, bx = cf.shape[:2]
+        plane = np.zeros((by * 8, bx * 8))
+        for y in range(by):
+            for x in range(bx):
+                plane[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = (
+                    idct2(cf[y, x] * q) + 128.0
+                )
+        recon.append(plane[:h, :w])
+    if gray:
+        return np.clip(np.round(recon[0]), 0, 255).astype(np.uint8)[:, :, None]
+    rgb = ycbcr_to_rgb(np.stack(recon, axis=-1))
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(16, 24), (17, 23), (8, 8), (5, 75)])
+def test_gray_bitstream_exact(shape):
+    rs = np.random.RandomState(shape[0] * 100 + shape[1])
+    arr = rs.randint(0, 256, size=shape, dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(arr))
+    assert got.shape == (*shape, 1)
+    assert np.array_equal(got, _expected(arr))
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 3), (19, 30, 3), (64, 48, 3)])
+def test_rgb_bitstream_exact(shape):
+    rs = np.random.RandomState(shape[0] + shape[1])
+    arr = rs.randint(0, 256, size=shape, dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(arr))
+    assert got.shape == shape
+    assert np.array_equal(got, _expected(arr))
+
+
+def test_adversarial_coefficient_patterns_exact():
+    """Constant blocks (all-EOB path), saturated values (max DC diffs),
+    and a delta image (long zero runs → ZRL chains) through the exact
+    bitstream gate."""
+    for arr in (
+        np.zeros((24, 24), dtype=np.uint8),
+        np.full((24, 24), 255, dtype=np.uint8),
+        np.kron(
+            np.arange(9, dtype=np.uint8).reshape(3, 3) * 28,
+            np.ones((8, 8), dtype=np.uint8),
+        ),
+        np.eye(32, dtype=np.uint8) * 255,
+    ):
+        assert np.array_equal(decode_jpeg(encode_jpeg(arr)), _expected(arr))
+
+
+def test_lossy_quality_sane_on_smooth_image():
+    """PSNR bound on the shared math: a smooth gradient must survive the
+    Annex-K tables far above artifact territory."""
+    y, x = np.mgrid[0:64, 0:64]
+    arr = ((y * 2 + x * 2) % 256).astype(np.uint8)
+    smooth = np.stack([arr, arr[::-1], arr.T], axis=-1).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(smooth)).astype(np.float64)
+    mse = float(((got - smooth) ** 2).mean())
+    psnr = 10 * np.log10(255.0**2 / mse)
+    assert psnr > 30, psnr
+
+
+def test_unsupported_streams_raise_loudly():
+    arr = np.random.RandomState(0).randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    png = encode_jpeg(arr)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    # flip SOF0 -> SOF2 (progressive)
+    sof_at = png.index(b"\xff\xc0")
+    prog = png[:sof_at] + b"\xff\xc2" + png[sof_at + 2 :]
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+    # declare 2x2 luma sampling (4:2:0-style) in SOF
+    m = bytearray(png)
+    m[sof_at + 11] = 0x22  # first component's sampling byte
+    with pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg(bytes(m))
+    with pytest.raises(ValueError):
+        decode_jpeg(png[: len(png) // 2])  # truncated (no EOI)
+
+
+def test_dimensions_agree_with_header_parser():
+    from whoiswho_spark.operators.multimodal import parse_media_header
+
+    arr = np.random.RandomState(4).randint(0, 256, size=(21, 34, 3), dtype=np.uint8)
+    jpg = encode_jpeg(arr)
+    meta = parse_media_header(jpg)
+    assert (meta["width"], meta["height"]) == (34, 21)
+    assert meta["media_type"] == "image/jpeg"
+
+
+def test_image_pixel_stats_dispatches_all_three(spark):
+    """The pixel stage now covers every container: PNG, GIF, AND JPEG
+    payloads all produce stats from genuinely decoded pixels."""
+    from whoiswho_spark.operators.gif_codec import encode_gif
+    from whoiswho_spark.operators.multimodal import image_pixel_stats
+    from whoiswho_spark.operators.png_codec import encode_png
+
+    rs = np.random.RandomState(55)
+    png_arr = rs.randint(0, 256, size=(8, 11, 3), dtype=np.uint8)
+    pal = rs.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    gif_idx = rs.randint(0, 16, size=(7, 9), dtype=np.uint8)
+    jpg_arr = rs.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_png(png_arr, filter_type=4))),
+        (2, bytearray(encode_gif(gif_idx, pal))),
+        (3, bytearray(encode_jpeg(jpg_arr))),
+        (4, bytearray(b"\x00\x01 opaque")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in image_pixel_stats(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[3]["media_type"] == "image/jpeg"
+    exp = _expected(jpg_arr)
+    assert got[3]["px_mean"] == round(float(exp.mean()), 6)
+    assert (got[3]["height"], got[3]["width"], got[3]["channels"]) == exp.shape

@@ -1,0 +1,462 @@
+"""Real baseline-JPEG pixel decode in pure numpy — the last container.
+
+Scope (rejected loudly otherwise): baseline sequential DCT (SOF0),
+8-bit, grayscale or YCbCr with NO chroma subsampling (4:4:4, the shape
+this module's own encoder emits), Huffman entropy coding, no restart
+markers. Real-world 4:2:0 streams are refused with ValueError rather
+than approximately decoded — the png_codec/gif_codec honesty rule.
+
+Gating strategy (tests/test_jpeg_codec.py): JPEG is lossy, so roundtrip
+cannot be byte-gated end-to-end like PNG/GIF. Instead the test computes
+the expected pixels INDEPENDENTLY from the mathematical pipeline alone —
+level shift → exact DCT-II → quantize(np.round) → dequantize → IDCT →
+round/clip, no bitstream — and requires decode(encode(x)) to equal that
+EXACTLY. Any defect in the marker framing, Huffman tables, bit packing,
+byte stuffing, DC prediction, or zigzag breaks exact equality, while the
+shared lossy math cancels out. A PSNR sanity bound against the original
+pixels guards the math itself.
+
+Quantization and Huffman tables are the JPEG standard's public Annex K
+examples (ITU-T T.81 tables K.1-K.6) — spec constants, reproduced as
+data.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- spec constants (ITU-T T.81 Annex K) -------------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# (BITS counts per code length 1..16, HUFFVAL symbol list)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis (float64)."""
+    C = np.zeros((8, 8))
+    for k in range(8):
+        a = np.sqrt(0.125) if k == 0 else 0.5
+        for n in range(8):
+            C[k, n] = a * np.cos((2 * n + 1) * k * np.pi / 16)
+    return C
+
+_C = _dct_matrix()
+
+
+def dct2(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+def idct2(coef: np.ndarray) -> np.ndarray:
+    return _C.T @ coef @ _C
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF full-range BT.601 (float64 — rounding happens at the block
+    level shift so the test's independent math can mirror exactly)."""
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = (ycc[..., i] for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.stack([r, g, b], axis=-1)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """BITS/HUFFVAL → {symbol: (code, length)} per T.81 C.2."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    return {(l, c): s for s, (c, l) in _canonical_codes(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc <<= 8 - self.n
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s per spec
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = self.n = 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("jpeg: entropy stream exhausted")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                raise ValueError("jpeg: marker inside entropy stream")
+            self.pos += 1  # skip the stuffed 0x00
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _amplitude_bits(v: int, s: int) -> int:
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def _extend(bits: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def quantize_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(h8, w8) float plane (level-shifted) → (n_blocks_y, n_blocks_x,
+    8, 8) int quantized DCT coefficients — the shared lossy math the
+    exactness gate recomputes independently."""
+    h8, w8 = plane.shape
+    by, bx = h8 // 8, w8 // 8
+    blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+    out = np.zeros((by, bx, 8, 8), dtype=np.int64)
+    for y in range(by):
+        for x in range(bx):
+            out[y, x] = np.round(dct2(blocks[y, x]) / q).astype(np.int64)
+    return out
+
+
+def _pad_edge(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
+    return np.pad(plane, ((0, h8 - h), (0, w8 - w)), mode="edge")
+
+
+def encode_jpeg(arr: np.ndarray) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline 4:4:4 JPEG."""
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg: 8-bit arrays only")
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+        quants = [QUANT_LUMA]
+    else:
+        ycc = rgb_to_ycbcr(arr)
+        planes = [ycc[..., i] for i in range(3)]
+        quants = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
+    coefs = [
+        quantize_blocks(_pad_edge(p) - 128.0, q) for p, q in zip(planes, quants)
+    ]
+
+    dc_tabs = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    ac_tabs = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not gray:
+        dc_tabs.append(_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
+        ac_tabs.append(_canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
+
+    bw = _BitWriter()
+    by, bx = coefs[0].shape[:2]
+    prev_dc = [0] * len(planes)
+    for y in range(by):
+        for x in range(bx):
+            for ci, cf in enumerate(coefs):
+                ti = 0 if ci == 0 else 1
+                zz = cf[y, x].reshape(64)[ZIGZAG]
+                diff = int(zz[0]) - prev_dc[ci]
+                prev_dc[ci] = int(zz[0])
+                s = _category(diff)
+                code, ln = dc_tabs[ti][s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(_amplitude_bits(diff, s), s)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_tabs[ti][0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = ac_tabs[ti][(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(_amplitude_bits(v, s), s)
+                    run = 0
+                if run:
+                    code, ln = ac_tabs[ti][0x00]  # EOB
+                    bw.write(code, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFDB, bytes([0]) + bytes(QUANT_LUMA.reshape(64)[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xFFDB, bytes([1]) + bytes(QUANT_CHROMA.reshape(64)[ZIGZAG].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
+    out += seg(0xFFC0, sof)
+    for cls, tid, bits, vals in (
+        (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+        (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+        (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    )[: 2 * ncomp if not gray else 2]:
+        out += seg(0xFFC4, bytes([(cls << 4) | tid] + bits + vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline 4:4:4 / grayscale JPEG bytes → (h, w, ch) uint8 (ch = 1
+    or 3, RGB). Raises ValueError for progressive, subsampled, 12-bit,
+    restart-interval, or arithmetic-coded streams."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: not a JPEG")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    scan = None
+    entropy_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: bad marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
+                quant[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                (huff_dc if cls == 0 else huff_ac)[tid] = _decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit precision supported")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + ci * 3 : 9 + ci * 3]
+                if samp != 0x11:
+                    raise ValueError(
+                        "jpeg: chroma subsampling unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("jpeg: only baseline SOF0 supported")
+        elif marker == 0xDD:
+            raise ValueError("jpeg: restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            scan = [(body[1 + i * 2], body[2 + i * 2]) for i in range(ns)]
+            entropy_start = pos + 2 + length
+            break
+        pos += 2 + length
+    if frame is None or scan is None or entropy_start is None:
+        raise ValueError("jpeg: missing SOF/SOS")
+    h, w, comps = frame
+    if len(scan) != len(comps):
+        raise ValueError("jpeg: scan/frame component mismatch")
+    # entropy data runs to the EOI marker (byte-stuffed 0xFF00 inside)
+    end = data.rfind(b"\xff\xd9")
+    if end < 0:
+        raise ValueError("jpeg: missing EOI")
+    br = _BitReader(data[entropy_start:end])
+    by, bx = -(-h // 8), -(-w // 8)
+    planes = [np.zeros((by * 8, bx * 8)) for _ in comps]
+    prev_dc = [0] * len(comps)
+
+    def read_symbol(table: dict) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | br.bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+    for y in range(by):
+        for x in range(bx):
+            for ci, (cid, tq) in enumerate(comps):
+                dc_tid, ac_tid = scan[ci][1] >> 4, scan[ci][1] & 0x0F
+                zz = np.zeros(64, dtype=np.int64)
+                s = read_symbol(huff_dc[dc_tid])
+                diff = _extend(br.bits(s), s) if s else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = read_symbol(huff_ac[ac_tid])
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, s = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63:
+                        raise ValueError("jpeg: AC run past block end")
+                    zz[k] = _extend(br.bits(s), s)
+                    k += 1
+                coef = np.zeros(64, dtype=np.int64)
+                coef[ZIGZAG] = zz
+                block = idct2(coef.reshape(8, 8) * quant[tq]) + 128.0
+                planes[ci][y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = block
+    planes = [p[:h, :w] for p in planes]
+    if len(planes) == 1:
+        out = planes[0]
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)[:, :, None]
+    ycc = np.stack(planes, axis=-1)
+    rgb = ycbcr_to_rgb(ycc)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

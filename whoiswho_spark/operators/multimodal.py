@@ -3,12 +3,14 @@
 The decode stage is a REAL, dependency-free container-header parser —
 PNG (IHDR), JPEG (SOF-family marker scan), GIF (logical screen
 descriptor) — so width/height/media-type extraction needs no PIL/ffmpeg.
-Pixel-level work is REAL for PNG (operators/png_codec.py: stdlib-zlib
-decoder) and GIF (operators/gif_codec.py: pure-Python LZW), dispatched
-in the image_pixel_stats mapInPandas stage — no codec libraries needed.
-JPEG pixel decode would slot into the same stage on a cluster with
-libjpeg; the Spark-side contract (schema, Arrow batch shape,
-partitioning) is identical either way.
+Pixel-level work is REAL for all three containers — PNG
+(operators/png_codec.py: stdlib-zlib decoder), GIF (operators/
+gif_codec.py: pure-Python LZW), and baseline 4:4:4 JPEG (operators/
+jpeg_codec.py: numpy Huffman-DCT) — dispatched in the image_pixel_stats
+mapInPandas stage with no codec libraries. Out-of-scope shapes
+(progressive/subsampled JPEG, interlace-free limits documented per
+module) are refused loudly; the Spark-side contract (schema, Arrow
+batch shape, partitioning) is identical with or without system codecs.
 """
 
 from __future__ import annotations
@@ -147,14 +149,16 @@ def synthetic_media_payload_col(kind_col, width_col, height_col):
 def image_pixel_stats(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """REAL pixel statistics for the decodable containers — PNG
-    (png_codec: stdlib zlib + unfilters) and GIF (gif_codec: pure-Python
-    LZW), dispatched by signature inside one mapInPandas stage. Emits
-    (doc_id, media_type, width, height, channels, px_mean, px_std,
-    px_min, px_max); payloads that are neither (JPEG — Huffman-DCT stays
-    codec-gated) or are malformed yield no row, so `anti-join against
-    parse_media_header` audits exactly what was skipped."""
+    """REAL pixel statistics for every container — PNG (png_codec:
+    stdlib zlib + unfilters), GIF (gif_codec: pure-Python LZW), and
+    baseline 4:4:4 JPEG (jpeg_codec: numpy Huffman-DCT) — dispatched by
+    signature inside one mapInPandas stage. Emits (doc_id, media_type,
+    width, height, channels, px_mean, px_std, px_min, px_max); malformed
+    or out-of-scope payloads (e.g. progressive/subsampled JPEG) yield no
+    row, so an anti-join against parse_media_header audits exactly what
+    was skipped."""
     from whoiswho_spark.operators.gif_codec import decode_gif
+    from whoiswho_spark.operators.jpeg_codec import decode_jpeg
     from whoiswho_spark.operators.png_codec import decode_png
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -172,6 +176,8 @@ def image_pixel_stats(
                         arr, mt = decode_png(raw), "image/png"
                     elif raw[:6] in (b"GIF87a", b"GIF89a"):
                         arr, mt = decode_gif(raw), "image/gif"
+                    elif raw[:2] == b"\xff\xd8":
+                        arr, mt = decode_jpeg(raw), "image/jpeg"
                     else:
                         continue
                 except ValueError:
