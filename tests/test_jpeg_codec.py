@@ -149,3 +149,66 @@ def test_image_pixel_stats_dispatches_all_three(spark):
     exp = _expected(jpg_arr)
     assert got[3]["px_mean"] == round(float(exp.mean()), 6)
     assert (got[3]["height"], got[3]["width"], got[3]["channels"]) == exp.shape
+
+
+def test_resize_images_executes_the_plan_with_real_pixels(spark):
+    """resize_images is resize_plan's execution: target dims equal the
+    plan's half-up formula, nearest-neighbor output equals numpy index
+    sampling exactly, output payloads are decodable PNGs, and
+    no-downscale-needed images pass through pixel-identical."""
+    from whoiswho_spark.operators.multimodal import resize_images, resize_plan
+    from whoiswho_spark.operators.png_codec import decode_png, encode_png
+
+    rs = np.random.RandomState(66)
+    big = rs.randint(0, 256, size=(40, 100, 3), dtype=np.uint8)   # downscale
+    small = rs.randint(0, 256, size=(6, 9, 3), dtype=np.uint8)    # passthrough
+    gray = rs.randint(0, 256, size=(80, 20), dtype=np.uint8)      # 1-channel
+    rows = [
+        (1, bytearray(encode_png(big))),
+        (2, bytearray(encode_png(small))),
+        (3, bytearray(encode_jpeg(gray))),
+        (4, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in resize_images(df, max_side=50, method="nearest").collect()
+    }
+    assert set(got) == {1, 2, 3}
+
+    # target dims match the Catalyst plan formula
+    meta = spark.createDataFrame(
+        [(1, 100, 40), (2, 9, 6), (3, 20, 80)], "doc_id long, width int, height int"
+    )
+    plan = {r["doc_id"]: r for r in resize_plan(meta, max_side=50).collect()}
+    for did in (1, 2, 3):
+        assert (got[did]["width"], got[did]["height"]) == (
+            plan[did]["target_width"], plan[did]["target_height"]
+        )
+
+    # nearest == numpy index sampling, exactly
+    tw, th = plan[1]["target_width"], plan[1]["target_height"]
+    ys = np.minimum(((np.arange(th) + 0.5) * 40 / th).astype(int), 39)
+    xs = np.minimum(((np.arange(tw) + 0.5) * 100 / tw).astype(int), 99)
+    assert np.array_equal(
+        decode_png(bytes(got[1]["payload"])), big[ys][:, xs]
+    )
+    # passthrough is pixel-identical
+    assert np.array_equal(decode_png(bytes(got[2]["payload"])), small)
+    # JPEG-sourced grayscale comes out as the decoded pixels, resized
+    jdec = decode_jpeg(encode_jpeg(gray))
+    ys3 = np.minimum(((np.arange(50) + 0.5) * 80 / 50).astype(int), 79)
+    xs3 = np.minimum(((np.arange(13) + 0.5) * 20 / 13).astype(int), 19)
+    assert np.array_equal(decode_png(bytes(got[3]["payload"])), jdec[ys3][:, xs3])
+
+    # bilinear: smooth ramp resized stays a ramp (monotone rows), exact
+    # midpoint average on a 2x downscale of a two-pixel checker
+    checker = np.zeros((2, 4, 3), dtype=np.uint8)
+    checker[:, 1::2] = 255
+    df2 = spark.createDataFrame(
+        [(9, bytearray(encode_png(checker)))], "doc_id long, payload binary"
+    )
+    r9 = resize_images(df2, max_side=2, method="bilinear").collect()[0]
+    out = decode_png(bytes(r9["payload"]))
+    assert out.shape == (1, 2, 3)
+    assert np.all(out == 128)  # (0+255)/2 rounded half-up

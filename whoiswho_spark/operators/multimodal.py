@@ -306,3 +306,92 @@ def resize_plan(meta: DataFrame, max_side: int = 512) -> DataFrame:
         F.floor(w * scale + F.lit(0.5)).cast("int").alias("target_width"),
         F.floor(h * scale + F.lit(0.5)).cast("int").alias("target_height"),
     )
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_side: int = 512,
+    method: str = "bilinear",
+) -> DataFrame:
+    """REAL pixel resize — the execution of ``resize_plan``: decode any
+    supported container (PNG/GIF/baseline-JPEG via the real codecs),
+    resample to the plan's aspect-preserving target (same half-up dim
+    formula, upscale never), and re-encode as PNG (the lossless output
+    container). ``method``: 'nearest' (index sampling) or 'bilinear'
+    (separable, edge-clamped; numpy, vectorized per image). Emits
+    (doc_id, media_type src, width, height, payload PNG BINARY);
+    undecodable payloads yield no row (audit via parse_media_header)."""
+    import numpy as np
+
+    from whoiswho_spark.operators.gif_codec import decode_gif
+    from whoiswho_spark.operators.jpeg_codec import decode_jpeg
+    from whoiswho_spark.operators.png_codec import encode_png, decode_png
+
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"resize_images: unknown method {method}")
+
+    def _target(w: int, h: int) -> tuple[int, int]:
+        scale = min(1.0, float(max_side) / max(w, h))
+        return int(w * scale + 0.5), int(h * scale + 0.5)
+
+    def _resize(arr: "np.ndarray", tw: int, th: int) -> "np.ndarray":
+        h, w = arr.shape[:2]
+        if (tw, th) == (w, h):
+            return arr
+        if method == "nearest":
+            # PIL-style half-open sampling: source center of target px
+            ys = np.minimum(((np.arange(th) + 0.5) * h / th).astype(int), h - 1)
+            xs = np.minimum(((np.arange(tw) + 0.5) * w / tw).astype(int), w - 1)
+            return arr[ys][:, xs]
+        # bilinear, edge-clamped, align-corners=False convention
+        fy = (np.arange(th) + 0.5) * h / th - 0.5
+        fx = (np.arange(tw) + 0.5) * w / tw - 0.5
+        y0 = np.clip(np.floor(fy).astype(int), 0, h - 1)
+        x0 = np.clip(np.floor(fx).astype(int), 0, w - 1)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+        wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+        a = arr.astype(np.float64)
+        top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+        bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+        out = top * (1 - wy) + bot * wy
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "media_type", "width", "height", "payload")}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    if raw.startswith(_PNG_SIG):
+                        arr, mt = decode_png(raw), "image/png"
+                    elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                        arr, mt = decode_gif(raw), "image/gif"
+                    elif raw[:2] == b"\xff\xd8":
+                        arr, mt = decode_jpeg(raw), "image/jpeg"
+                    else:
+                        continue
+                except ValueError:
+                    continue
+                h, w = arr.shape[:2]
+                tw, th = _target(w, h)
+                res = _resize(arr, tw, th)
+                out["doc_id"].append(int(did))
+                out["media_type"].append(mt)
+                out["width"].append(tw)
+                out["height"].append(th)
+                out["payload"].append(encode_png(res))
+            yield pd.DataFrame(out)
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), payload_col
+    ).mapInPandas(
+        work,
+        schema=(
+            "doc_id bigint, media_type string, width int, height int, "
+            "payload binary"
+        ),
+    )
