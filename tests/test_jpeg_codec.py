@@ -212,3 +212,18 @@ def test_resize_images_executes_the_plan_with_real_pixels(spark):
     out = decode_png(bytes(r9["payload"]))
     assert out.shape == (1, 2, 3)
     assert np.all(out == 128)  # (0+255)/2 rounded half-up
+
+
+def test_permuted_scan_order_decodes_correctly():
+    """A foreign baseline file may declare scan components in any order;
+    the decoder must follow the SOS interleave order while assembling
+    frame-ordered Y/Cb/Cr planes — permuted-scan bytes decode to the
+    SAME pixels as the natural order."""
+    rs = np.random.RandomState(12)
+    arr = rs.randint(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    natural = decode_jpeg(encode_jpeg(arr))
+    for order in ((2, 0, 1), (1, 2, 0), (2, 1, 0)):
+        permuted = decode_jpeg(encode_jpeg(arr, scan_order=order))
+        assert np.array_equal(permuted, natural), order
+    with pytest.raises(ValueError, match="permute"):
+        encode_jpeg(arr, scan_order=(0, 0, 1))

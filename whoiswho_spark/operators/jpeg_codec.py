@@ -251,8 +251,13 @@ def _pad_edge(plane: np.ndarray) -> np.ndarray:
     return np.pad(plane, ((0, h8 - h), (0, w8 - w)), mode="edge")
 
 
-def encode_jpeg(arr: np.ndarray) -> bytes:
-    """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline 4:4:4 JPEG."""
+def encode_jpeg(arr: np.ndarray, scan_order: tuple | None = None) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline 4:4:4 JPEG.
+
+    ``scan_order`` permutes the SOS component declaration AND the
+    interleaved entropy emission in lockstep (spec-legal; the scan
+    declaration IS the interleave order). Default natural (Y, Cb, Cr);
+    a permuted order exercises the decoder's scan-vs-frame reordering."""
     if arr.dtype != np.uint8:
         raise ValueError("encode_jpeg: 8-bit arrays only")
     gray = arr.ndim == 2
@@ -274,12 +279,16 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
         dc_tabs.append(_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
         ac_tabs.append(_canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
 
+    order = tuple(scan_order) if scan_order is not None else tuple(range(len(planes)))
+    if sorted(order) != list(range(len(planes))):
+        raise ValueError("encode_jpeg: scan_order must permute the components")
     bw = _BitWriter()
     by, bx = coefs[0].shape[:2]
     prev_dc = [0] * len(planes)
     for y in range(by):
         for x in range(bx):
-            for ci, cf in enumerate(coefs):
+            for ci in order:
+                cf = coefs[ci]
                 ti = 0 if ci == 0 else 1
                 zz = cf[y, x].reshape(64)[ZIGZAG]
                 diff = int(zz[0]) - prev_dc[ci]
@@ -329,7 +338,7 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
     )[: 2 * ncomp if not gray else 2]:
         out += seg(0xFFC4, bytes([(cls << 4) | tid] + bits + vals))
     sos = bytes([ncomp])
-    for ci in range(ncomp):
+    for ci in order:  # SOS lists components in the interleave order
         tid = 0 if ci == 0 else 1
         sos += bytes([ci + 1, (tid << 4) | tid])
     sos += bytes([0, 63, 0])
@@ -407,6 +416,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     h, w, comps = frame
     if len(scan) != len(comps):
         raise ValueError("jpeg: scan/frame component mismatch")
+    # entropy data is interleaved in SCAN order, which a foreign baseline
+    # file may list differently from the frame header — decode in scan
+    # order but write into FRAME-ordered planes (Y,Cb,Cr for the color
+    # transform); our own encoder emits the two aligned
+    frame_idx = {cid: i for i, (cid, _tq) in enumerate(comps)}
+    order = []
+    for sid, tabs in scan:
+        if sid not in frame_idx:
+            raise ValueError(f"jpeg: scan references unknown component {sid}")
+        order.append((frame_idx[sid], tabs))
     # entropy data runs to the EOI marker (byte-stuffed 0xFF00 inside)
     end = data.rfind(b"\xff\xd9")
     if end < 0:
@@ -428,8 +447,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     for y in range(by):
         for x in range(bx):
-            for ci, (cid, tq) in enumerate(comps):
-                dc_tid, ac_tid = scan[ci][1] >> 4, scan[ci][1] & 0x0F
+            for ci, tabs in order:
+                tq = comps[ci][1]
+                dc_tid, ac_tid = tabs >> 4, tabs & 0x0F
                 zz = np.zeros(64, dtype=np.int64)
                 s = read_symbol(huff_dc[dc_tid])
                 diff = _extend(br.bits(s), s) if s else 0
