@@ -8,33 +8,26 @@ import numpy as np
 import pytest
 
 from whoiswho_spark.operators.jpeg_codec import (
-    QUANT_CHROMA,
-    QUANT_LUMA,
-    _pad_edge,
     decode_jpeg,
     encode_jpeg,
     idct2,
     quantize_blocks,
-    rgb_to_ycbcr,
     ycbcr_to_rgb,
 )
 
 
-def _expected(arr: np.ndarray) -> np.ndarray:
-    """The no-bitstream twin of encode→decode: identical math, zero
-    entropy coding — any divergence isolates a bitstream bug."""
+def _expected(arr: np.ndarray, subsampling: str = "444") -> np.ndarray:
+    """The no-bitstream twin of encode→decode: identical math (via the
+    module's own component_planes geometry), zero entropy coding — any
+    divergence isolates a bitstream bug."""
+    from whoiswho_spark.operators.jpeg_codec import component_planes
+
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
-    if gray:
-        planes = [arr.astype(np.float64)]
-        quants = [QUANT_LUMA]
-    else:
-        ycc = rgb_to_ycbcr(arr)
-        planes = [ycc[..., i] for i in range(3)]
-        quants = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
+    planes, quants, hv, hmax, vmax = component_planes(arr, subsampling)
     recon = []
-    for p, q in zip(planes, quants):
-        cf = quantize_blocks(_pad_edge(p) - 128.0, q)
+    for p, q, (fh, fv) in zip(planes, quants, hv):
+        cf = quantize_blocks(p - 128.0, q)
         by, bx = cf.shape[:2]
         plane = np.zeros((by * 8, bx * 8))
         for y in range(by):
@@ -42,6 +35,10 @@ def _expected(arr: np.ndarray) -> np.ndarray:
                 plane[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = (
                     idct2(cf[y, x] * q) + 128.0
                 )
+        if fv < vmax:
+            plane = np.repeat(plane, vmax // fv, axis=0)
+        if fh < hmax:
+            plane = np.repeat(plane, hmax // fh, axis=1)
         recon.append(plane[:h, :w])
     if gray:
         return np.clip(np.round(recon[0]), 0, 255).astype(np.uint8)[:, :, None]
@@ -105,10 +102,10 @@ def test_unsupported_streams_raise_loudly():
     prog = png[:sof_at] + b"\xff\xc2" + png[sof_at + 2 :]
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(prog)
-    # declare 2x2 luma sampling (4:2:0-style) in SOF
+    # sampling factors beyond 2 stay out of scope
     m = bytearray(png)
-    m[sof_at + 11] = 0x22  # first component's sampling byte
-    with pytest.raises(ValueError, match="subsampling"):
+    m[sof_at + 11] = 0x33  # first component's sampling byte
+    with pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg(bytes(m))
     with pytest.raises(ValueError):
         decode_jpeg(png[: len(png) // 2])  # truncated (no EOI)
@@ -227,3 +224,37 @@ def test_permuted_scan_order_decodes_correctly():
         assert np.array_equal(permuted, natural), order
     with pytest.raises(ValueError, match="permute"):
         encode_jpeg(arr, scan_order=(0, 0, 1))
+
+
+@pytest.mark.parametrize("sub", ["420", "422"])
+@pytest.mark.parametrize("shape", [(16, 16, 3), (17, 23, 3), (32, 9, 3)])
+def test_subsampled_bitstream_exact(sub, shape):
+    """4:2:0 / 4:2:2 — the real-world JPEG shapes: the MCU interleave
+    (multiple Y blocks per MCU), chroma decimation geometry, and
+    replication upsampling all flow through the exact no-bitstream
+    gate, including non-multiple-of-MCU dimensions."""
+    rs = np.random.RandomState(sum(shape) + len(sub))
+    arr = rs.randint(0, 256, size=shape, dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(arr, subsampling=sub))
+    assert got.shape == shape
+    assert np.array_equal(got, _expected(arr, subsampling=sub))
+
+
+def test_subsampled_permuted_scan_order():
+    rs = np.random.RandomState(31)
+    arr = rs.randint(0, 256, size=(24, 18, 3), dtype=np.uint8)
+    natural = decode_jpeg(encode_jpeg(arr, subsampling="420"))
+    permuted = decode_jpeg(
+        encode_jpeg(arr, subsampling="420", scan_order=(2, 0, 1))
+    )
+    assert np.array_equal(natural, permuted)
+
+
+def test_subsampled_quality_sane_on_smooth_image():
+    y, x = np.mgrid[0:64, 0:64]
+    base = ((y * 2 + x * 2) % 256).astype(np.uint8)
+    smooth = np.stack([base, base[::-1], base.T], axis=-1).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(smooth, subsampling="420")).astype(np.float64)
+    mse = float(((got - smooth) ** 2).mean())
+    psnr = 10 * np.log10(255.0**2 / mse)
+    assert psnr > 26, psnr  # chroma decimation costs a few dB vs 4:4:4

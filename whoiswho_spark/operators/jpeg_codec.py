@@ -1,10 +1,13 @@
 """Real baseline-JPEG pixel decode in pure numpy — the last container.
 
 Scope (rejected loudly otherwise): baseline sequential DCT (SOF0),
-8-bit, grayscale or YCbCr with NO chroma subsampling (4:4:4, the shape
-this module's own encoder emits), Huffman entropy coding, no restart
-markers. Real-world 4:2:0 streams are refused with ValueError rather
-than approximately decoded — the png_codec/gif_codec honesty rule.
+8-bit, grayscale or YCbCr with sampling factors 1-2 — 4:4:4 AND the
+real-world subsampled shapes 4:2:0 / 4:2:2 / 4:4:0 (chroma decimated by
+block mean on encode, upsampled by sample replication on decode) —
+Huffman entropy coding, no restart markers. Progressive, larger
+sampling factors, 12-bit, and arithmetic-coded streams are refused with
+ValueError rather than approximately decoded — the png_codec/gif_codec
+honesty rule.
 
 Gating strategy (tests/test_jpeg_codec.py): JPEG is lossy, so roundtrip
 cannot be byte-gated end-to-end like PNG/GIF. Instead the test computes
@@ -251,27 +254,72 @@ def _pad_edge(plane: np.ndarray) -> np.ndarray:
     return np.pad(plane, ((0, h8 - h), (0, w8 - w)), mode="edge")
 
 
-def encode_jpeg(arr: np.ndarray, scan_order: tuple | None = None) -> bytes:
-    """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline 4:4:4 JPEG.
+#: subsampling name → per-component (h, v) factors for (Y, Cb, Cr)
+SUBSAMPLING = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
 
+
+def _mean_downsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Block-mean decimation by integer factors (the encoder's chroma
+    filter; the decoder's matching upsample is sample replication)."""
+    if fy == fx == 1:
+        return plane
+    h, w = plane.shape
+    return plane.reshape(h // fy, fy, w // fx, fx).mean(axis=(1, 3))
+
+
+def component_planes(arr: np.ndarray, subsampling: str):
+    """RGB/gray uint8 → per-component MCU-padded (possibly downsampled)
+    float planes + quant tables + (h, v) factors. Shared by encode_jpeg
+    and the test's no-bitstream math twin, so the lossy geometry
+    (edge padding at full res, THEN block-mean decimation) is identical
+    by construction."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        full = [arr.astype(np.float64)]
+        quants = [QUANT_LUMA]
+        hv = ((1, 1),)
+    else:
+        ycc = rgb_to_ycbcr(arr)
+        full = [ycc[..., i] for i in range(3)]
+        quants = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
+        hv = SUBSAMPLING[subsampling]
+    hmax = max(f[0] for f in hv)
+    vmax = max(f[1] for f in hv)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    pw, ph = -(-w // mcu_w) * mcu_w, -(-h // mcu_h) * mcu_h
+    planes = []
+    for p, (fh, fv) in zip(full, hv):
+        padded = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        planes.append(_mean_downsample(padded, vmax // fv, hmax // fh))
+    return planes, quants, hv, hmax, vmax
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    scan_order: tuple | None = None,
+    subsampling: str = "444",
+) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline JPEG.
+
+    ``subsampling``: '444' (default), '422', or '420' — chroma is
+    block-mean decimated after full-resolution edge padding.
     ``scan_order`` permutes the SOS component declaration AND the
     interleaved entropy emission in lockstep (spec-legal; the scan
     declaration IS the interleave order). Default natural (Y, Cb, Cr);
     a permuted order exercises the decoder's scan-vs-frame reordering."""
     if arr.dtype != np.uint8:
         raise ValueError("encode_jpeg: 8-bit arrays only")
+    if subsampling not in SUBSAMPLING:
+        raise ValueError(f"encode_jpeg: unknown subsampling {subsampling}")
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
-    if gray:
-        planes = [arr.astype(np.float64)]
-        quants = [QUANT_LUMA]
-    else:
-        ycc = rgb_to_ycbcr(arr)
-        planes = [ycc[..., i] for i in range(3)]
-        quants = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
-    coefs = [
-        quantize_blocks(_pad_edge(p) - 128.0, q) for p, q in zip(planes, quants)
-    ]
+    planes, quants, hv, hmax, vmax = component_planes(arr, subsampling)
+    coefs = [quantize_blocks(p - 128.0, q) for p, q in zip(planes, quants)]
 
     dc_tabs = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
     ac_tabs = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
@@ -283,39 +331,23 @@ def encode_jpeg(arr: np.ndarray, scan_order: tuple | None = None) -> bytes:
     if sorted(order) != list(range(len(planes))):
         raise ValueError("encode_jpeg: scan_order must permute the components")
     bw = _BitWriter()
-    by, bx = coefs[0].shape[:2]
+    mcu_by = coefs[0].shape[0] // hv[0][1]
+    mcu_bx = coefs[0].shape[1] // hv[0][0]
     prev_dc = [0] * len(planes)
-    for y in range(by):
-        for x in range(bx):
+    for my in range(mcu_by):
+        for mx in range(mcu_bx):
             for ci in order:
-                cf = coefs[ci]
-                ti = 0 if ci == 0 else 1
-                zz = cf[y, x].reshape(64)[ZIGZAG]
-                diff = int(zz[0]) - prev_dc[ci]
-                prev_dc[ci] = int(zz[0])
-                s = _category(diff)
-                code, ln = dc_tabs[ti][s]
-                bw.write(code, ln)
-                if s:
-                    bw.write(_amplitude_bits(diff, s), s)
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_tabs[ti][0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    s = _category(v)
-                    code, ln = ac_tabs[ti][(run << 4) | s]
-                    bw.write(code, ln)
-                    bw.write(_amplitude_bits(v, s), s)
-                    run = 0
-                if run:
-                    code, ln = ac_tabs[ti][0x00]  # EOB
-                    bw.write(code, ln)
+                fh, fv = hv[ci]
+                for r in range(fv):
+                    for c in range(fh):
+                        _emit_block(
+                            bw,
+                            coefs[ci][my * fv + r, mx * fh + c],
+                            prev_dc,
+                            ci,
+                            dc_tabs[0 if ci == 0 else 1],
+                            ac_tabs[0 if ci == 0 else 1],
+                        )
     entropy = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -328,7 +360,8 @@ def encode_jpeg(arr: np.ndarray, scan_order: tuple | None = None) -> bytes:
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
+        fh, fv = hv[ci]
+        sof += bytes([ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1])
     out += seg(0xFFC0, sof)
     for cls, tid, bits, vals in (
         (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -348,10 +381,43 @@ def encode_jpeg(arr: np.ndarray, scan_order: tuple | None = None) -> bytes:
     return bytes(out)
 
 
+def _emit_block(bw, block, prev_dc, ci, dc_tab, ac_tab) -> None:
+    """Huffman-encode one quantized 8×8 block (DC differential per
+    component + run-length AC with ZRL/EOB)."""
+    zz = block.reshape(64)[ZIGZAG]
+    diff = int(zz[0]) - prev_dc[ci]
+    prev_dc[ci] = int(zz[0])
+    s = _category(diff)
+    code, ln = dc_tab[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(_amplitude_bits(diff, s), s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_tab[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(_amplitude_bits(v, s), s)
+        run = 0
+    if run:
+        code, ln = ac_tab[0x00]  # EOB
+        bw.write(code, ln)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline 4:4:4 / grayscale JPEG bytes → (h, w, ch) uint8 (ch = 1
-    or 3, RGB). Raises ValueError for progressive, subsampled, 12-bit,
-    restart-interval, or arithmetic-coded streams."""
+    """Baseline JPEG bytes → (h, w, ch) uint8 (ch = 1 or 3, RGB).
+    Sampling factors 1 and 2 are supported (4:4:4, 4:2:2, 4:2:0, 4:4:0;
+    chroma upsampled by sample replication). Raises ValueError for
+    progressive, larger sampling factors, 12-bit, restart-interval, or
+    arithmetic-coded streams."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: not a JPEG")
     pos = 2
@@ -395,11 +461,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + ci * 3 : 9 + ci * 3]
-                if samp != 0x11:
+                fh, fv = samp >> 4, samp & 0x0F
+                if not (1 <= fh <= 2 and 1 <= fv <= 2):
                     raise ValueError(
-                        "jpeg: chroma subsampling unsupported (4:4:4 only)"
+                        f"jpeg: sampling factors {fh}x{fv} unsupported "
+                        "(1 and 2 only)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, fh, fv))
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("jpeg: only baseline SOF0 supported")
@@ -420,7 +488,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     # file may list differently from the frame header — decode in scan
     # order but write into FRAME-ordered planes (Y,Cb,Cr for the color
     # transform); our own encoder emits the two aligned
-    frame_idx = {cid: i for i, (cid, _tq) in enumerate(comps)}
+    frame_idx = {cid: i for i, (cid, _tq, _fh, _fv) in enumerate(comps)}
     order = []
     for sid, tabs in scan:
         if sid not in frame_idx:
@@ -431,8 +499,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if end < 0:
         raise ValueError("jpeg: missing EOI")
     br = _BitReader(data[entropy_start:end])
-    by, bx = -(-h // 8), -(-w // 8)
-    planes = [np.zeros((by * 8, bx * 8)) for _ in comps]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcu_by = -(-h // (8 * vmax))
+    mcu_bx = -(-w // (8 * hmax))
+    # per-component plane at ITS resolution (MCU-aligned)
+    planes = [
+        np.zeros((mcu_by * 8 * fv, mcu_bx * 8 * fh))
+        for _cid, _tq, fh, fv in comps
+    ]
     prev_dc = [0] * len(comps)
 
     def read_symbol(table: dict) -> int:
@@ -445,38 +520,49 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 return sym
         raise ValueError("jpeg: invalid Huffman code")
 
-    for y in range(by):
-        for x in range(bx):
+    def read_block(tq: int, ci: int, dc_tid: int, ac_tid: int) -> np.ndarray:
+        zz = np.zeros(64, dtype=np.int64)
+        s = read_symbol(huff_dc[dc_tid])
+        diff = _extend(br.bits(s), s) if s else 0
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            sym = read_symbol(huff_ac[ac_tid])
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, s = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63:
+                raise ValueError("jpeg: AC run past block end")
+            zz[k] = _extend(br.bits(s), s)
+            k += 1
+        coef = np.zeros(64, dtype=np.int64)
+        coef[ZIGZAG] = zz
+        return idct2(coef.reshape(8, 8) * quant[tq]) + 128.0
+
+    for my in range(mcu_by):
+        for mx in range(mcu_bx):
             for ci, tabs in order:
-                tq = comps[ci][1]
-                dc_tid, ac_tid = tabs >> 4, tabs & 0x0F
-                zz = np.zeros(64, dtype=np.int64)
-                s = read_symbol(huff_dc[dc_tid])
-                diff = _extend(br.bits(s), s) if s else 0
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = read_symbol(huff_ac[ac_tid])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, s = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("jpeg: AC run past block end")
-                    zz[k] = _extend(br.bits(s), s)
-                    k += 1
-                coef = np.zeros(64, dtype=np.int64)
-                coef[ZIGZAG] = zz
-                block = idct2(coef.reshape(8, 8) * quant[tq]) + 128.0
-                planes[ci][y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = block
-    planes = [p[:h, :w] for p in planes]
-    if len(planes) == 1:
-        out = planes[0]
-        return np.clip(np.round(out), 0, 255).astype(np.uint8)[:, :, None]
-    ycc = np.stack(planes, axis=-1)
-    rgb = ycbcr_to_rgb(ycc)
+                _cid, tq, fh, fv = comps[ci]
+                for r in range(fv):
+                    for c in range(fh):
+                        by_, bx_ = my * fv + r, mx * fh + c
+                        planes[ci][
+                            by_ * 8 : by_ * 8 + 8, bx_ * 8 : bx_ * 8 + 8
+                        ] = read_block(tq, ci, tabs >> 4, tabs & 0x0F)
+    # upsample subsampled components by sample replication, then crop
+    full = []
+    for p, (_cid, _tq, fh, fv) in zip(planes, comps):
+        if fv < vmax:
+            p = np.repeat(p, vmax // fv, axis=0)
+        if fh < hmax:
+            p = np.repeat(p, hmax // fh, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[:, :, None]
+    rgb = ycbcr_to_rgb(np.stack(full, axis=-1))
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
