@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from whoiswho_spark.operators.codec_common import corrupt_input_guard
+
 AUDIO_FEATURES_SCHEMA = (
     "doc_id bigint, sample_rate int, channels int, n_samples bigint, "
     "duration_s double, rms double, peak double, zero_crossing_rate double"
@@ -55,6 +57,7 @@ def encode_wav(samples: np.ndarray, rate: int, float32: bool = False) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@corrupt_input_guard
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → ((n, ch) float64 samples in [-1, 1], sample_rate).
     int16 PCM is scaled by 1/32768; float32 passes through. Raises

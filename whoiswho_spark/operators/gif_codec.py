@@ -13,9 +13,8 @@ Animation (later frames), transparency compositing, and disposal
 methods are out of scope and documented, not guessed: the decoder
 returns frame 1's pixels.
 
-JPEG remains the one honestly-gated container (baseline Huffman-DCT is
-a substantially larger correctness surface, and its lossy roundtrip
-cannot be byte-gated the way PNG/GIF can).
+(jpeg_codec.py has since joined the family with its own math-twin
+gating discipline — every container now decodes for real.)
 """
 
 from __future__ import annotations
@@ -23,6 +22,11 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+from whoiswho_spark.operators.codec_common import (
+    check_dimensions,
+    corrupt_input_guard,
+)
 
 _MAX_CODE_WIDTH = 12
 
@@ -178,6 +182,7 @@ def encode_gif(
     return bytes(out)
 
 
+@corrupt_input_guard
 def decode_gif(data: bytes) -> np.ndarray:
     """GIF bytes → FIRST frame as (h, w, 3) uint8 RGB. Raises ValueError
     on malformed streams; skips extension blocks; honors a local color
@@ -207,6 +212,7 @@ def decode_gif(data: bytes) -> np.ndarray:
         if b0 != 0x2C:
             raise ValueError(f"decode_gif: unexpected block 0x{b0:02x}")
         _x, _y, w, h, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+        check_dimensions(w, h, "decode_gif")
         pos += 10
         table = gct
         if iflags & 0x80:

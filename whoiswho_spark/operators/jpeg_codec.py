@@ -30,6 +30,11 @@ import struct
 
 import numpy as np
 
+from whoiswho_spark.operators.codec_common import (
+    check_dimensions,
+    corrupt_input_guard,
+)
+
 # --- spec constants (ITU-T T.81 Annex K) -------------------------------------
 
 ZIGZAG = np.array([
@@ -412,6 +417,7 @@ def _emit_block(bw, block, prev_dc, ci, dc_tab, ac_tab) -> None:
         bw.write(code, ln)
 
 
+@corrupt_input_guard
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG bytes → (h, w, ch) uint8 (ch = 1 or 3, RGB).
     Sampling factors 1 and 2 are supported (4:4:4, 4:2:2, 4:2:0, 4:4:0;
@@ -468,6 +474,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         "(1 and 2 only)"
                     )
                 comps.append((cid, tq, fh, fv))
+            check_dimensions(w, h, "decode_jpeg")
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("jpeg: only baseline SOF0 supported")

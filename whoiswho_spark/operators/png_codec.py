@@ -36,6 +36,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from whoiswho_spark.operators.codec_common import (
+    check_dimensions,
+    corrupt_input_guard,
+)
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: PNG color type → channel count (8-bit, non-palette)
 _COLOR_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
@@ -110,6 +115,7 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+@corrupt_input_guard
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → (h, w, ch) uint8 array. Supports bit depth 8, color
     types 0/2/4/6, non-interlaced, any IDAT split. Raises ValueError on
@@ -141,6 +147,7 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("decode_png: nonstandard compression/filter method")
     if interlace != 0:
         raise ValueError("decode_png: interlaced images unsupported")
+    check_dimensions(w, h, "decode_png")
     ch = _COLOR_CHANNELS[color]
     stride = w * ch
     raw = zlib.decompress(b"".join(idat))

@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from whoiswho_spark.operators.codec_common import corrupt_input_guard
 from whoiswho_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
 
 FRAME_STATS_SCHEMA = (
@@ -87,6 +88,7 @@ def _walk_chunks(data: bytes, start: int, end: int):
         pos = body_start + size + (size & 1)
 
 
+@corrupt_input_guard
 def avi_frame_index(data: bytes) -> tuple[list[tuple[int, int]], float, int]:
     """AVI bytes → ([(offset, size)] per video frame chunk, fps,
     declared frame count) WITHOUT decoding any frame — the cheap pass
@@ -121,6 +123,7 @@ def avi_frame_index(data: bytes) -> tuple[list[tuple[int, int]], float, int]:
     return frames, fps, declared
 
 
+@corrupt_input_guard
 def decode_avi_frames(
     data: bytes, indices: list[int] | None = None
 ) -> tuple[list[np.ndarray], float]:
