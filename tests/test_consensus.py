@@ -124,6 +124,36 @@ def test_consensus_partition_is_partitioning_invariant(spark):
     assert p1 == p2 and len(p1) == 30
 
 
+def test_consensus_pins_input_to_single_evaluation(spark):
+    """consensus_clusters must materialize the stacked clusterings ONCE:
+    the ensemble can include a DBSCAN run whose border labels are
+    row-order-dependent, so if the n_runs count, the self-join's a/b
+    sides, and the vertex set each re-evaluated the plan, agree_runs
+    would be silently corrupted. Guard: an accumulator-counting
+    mapInPandas upstream sees every row exactly once."""
+    from whoiswho_spark.operators.consensus import consensus_clusters
+
+    runs = {
+        "r1": {f"u{i}": f"c{i // 3}" for i in range(30)},
+        "r2": {f"u{i}": f"c{(i + 1) // 3}" for i in range(30)},
+        "r3": {f"u{i}": f"c{i // 3}" for i in range(30)},
+    }
+    stacked = _stack(spark, runs)
+    n_rows = stacked.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    instrumented = stacked.mapInPandas(counting, schema=stacked.schema)
+    out = consensus_clusters(instrumented)
+    assert out.count() == 30
+    # 2 joins + n_runs count + vertices: un-pinned this would be ~4x
+    assert acc.value == n_rows, (acc.value, n_rows)
+
+
 def test_consensus_over_threshold_grid(spark):
     """The reference's actual usage: the K runs are a threshold grid over
     the same scored pairs (ESBTrainer's th_a/th_o/th_v loop). Feed the

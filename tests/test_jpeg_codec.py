@@ -226,10 +226,10 @@ def test_permuted_scan_order_decodes_correctly():
         encode_jpeg(arr, scan_order=(0, 0, 1))
 
 
-@pytest.mark.parametrize("sub", ["420", "422"])
+@pytest.mark.parametrize("sub", ["420", "422", "440"])
 @pytest.mark.parametrize("shape", [(16, 16, 3), (17, 23, 3), (32, 9, 3)])
 def test_subsampled_bitstream_exact(sub, shape):
-    """4:2:0 / 4:2:2 — the real-world JPEG shapes: the MCU interleave
+    """4:2:0 / 4:2:2 / 4:4:0 — the real-world JPEG shapes: the MCU interleave
     (multiple Y blocks per MCU), chroma decimation geometry, and
     replication upsampling all flow through the exact no-bitstream
     gate, including non-multiple-of-MCU dimensions."""
@@ -248,6 +248,25 @@ def test_subsampled_permuted_scan_order():
         encode_jpeg(arr, subsampling="420", scan_order=(2, 0, 1))
     )
     assert np.array_equal(natural, permuted)
+
+
+def test_fill_bytes_and_standalone_markers_accepted():
+    """Spec-legal framing real encoders emit: 0xFF fill bytes may pad
+    before any marker (T.81 B.1.1.2), and TEM (0x01) is a standalone
+    marker with NO length segment. Misparsing either as a
+    length-prefixed segment silently rejects valid files (recall loss
+    in the Spark stages)."""
+    rs = np.random.RandomState(77)
+    arr = rs.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    data = encode_jpeg(arr)
+    expected = decode_jpeg(data)
+    # inject fill bytes + a TEM marker between SOI and the first segment
+    padded = data[:2] + b"\xff\xff\xff" + b"\xff\x01" + b"\xff\xff" + data[2:]
+    assert np.array_equal(decode_jpeg(padded), expected)
+    # fill bytes immediately before the SOS segment too
+    sos = data.index(b"\xff\xda")
+    padded2 = data[:sos] + b"\xff\xff" + data[sos:]
+    assert np.array_equal(decode_jpeg(padded2), expected)
 
 
 def test_subsampled_quality_sane_on_smooth_image():

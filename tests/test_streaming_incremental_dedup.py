@@ -421,6 +421,7 @@ def test_dedup_cap_hits_surface_counter_and_warning(spark, tmp_path):
         streamed = run_incremental_dedup_once(
             spark, src, str(tmp_path / "ckpt_capw"), name="inc_dd_capw",
             max_bucket_size=2, metrics_dir=mdir, run_id="rcapd",
+            output_dir=str(tmp_path / "out_capw"),
         )
         assert any("UNDER-REPORTED" in str(x.message) for x in w)
     caps = streamed.where(F.col("id_a") == CAP_ID)
@@ -433,7 +434,34 @@ def test_dedup_cap_hits_surface_counter_and_warning(spark, tmp_path):
             F.col("query") == "inc_dd_capw"
         ).collect()
     }
-    assert c == {"buckets_at_cap": 2, "cap_dropped_members": 4}
+    assert c == {
+        "buckets_at_cap_cumulative": 2,
+        "cap_dropped_members_cumulative": 4,
+        "buckets_at_cap_this_run": 2,
+        "cap_dropped_members_this_run": 4,
+    }
     assert distinct_candidate_pairs(streamed).where(
         F.col("id_a").startswith("\x00")
     ).count() == 0
+
+    # resumed drain over the same sink: cumulative rows re-count the
+    # whole pair log, but *_this_run counts only the new drain's hits
+    spark.createDataFrame(
+        [_docs(i, same) for i in range(4, 6)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        run_incremental_dedup_once(
+            spark, src, str(tmp_path / "ckpt_capw"), name="inc_dd_capw",
+            max_bucket_size=2, metrics_dir=mdir, run_id="rcapd2",
+            output_dir=str(tmp_path / "out_capw"),
+        )
+    c2 = {
+        r["key"]: r["value"]
+        for r in read_run_counters(spark, mdir).where(
+            (F.col("query") == "inc_dd_capw") & (F.col("run_id") == "rcapd2")
+        ).collect()
+    }
+    assert c2["cap_dropped_members_cumulative"] == 8  # 4 prior + 2 docs × 2 bands
+    assert c2["cap_dropped_members_this_run"] == 4
+    assert c2["buckets_at_cap_this_run"] == 0  # same 2 buckets, none new

@@ -407,7 +407,12 @@ def test_cap_hits_surface_counter_and_warning(spark, tmp_path):
             F.col("query") == "inc_er_capw"
         ).collect()
     }
-    assert c == {"blocks_at_cap": 1, "cap_dropped_members": 2}
+    assert c == {
+        "blocks_at_cap_cumulative": 1,
+        "cap_dropped_members_cumulative": 2,
+        "blocks_at_cap_this_run": 1,
+        "cap_dropped_members_this_run": 2,
+    }
     # sentinels are observability rows, not assignments
     fin = final_assignments(events)
     assert fin.where(F.col("url").startswith("\x00")).count() == 0

@@ -42,17 +42,37 @@ from pyspark.sql import functions as F
 from whoiswho_spark.operators.clustering import connected_components
 
 
+def _pin(clusterings: DataFrame) -> DataFrame:
+    """Materialize the stacked clusterings once (lineage-truncating
+    localCheckpoint) so every downstream evaluation — the n_runs count,
+    both sides of the co-association self-join, the default vertex set —
+    reads the SAME labels. The ensemble may include a DBSCAN run whose
+    border-point labels are row-order-dependent; without pinning, the a-
+    and b-side re-evaluations could disagree on a border url and corrupt
+    per-pair agree_runs silently. Also avoids recomputing the expensive
+    CC-grid + DBSCAN ensemble 3-4 times."""
+    return clusterings.localCheckpoint(eager=True)
+
+
 def coassociation_edges(
     clusterings: DataFrame,
     min_agree: float = 0.5,
     run_col: str = "run_id",
     id_col: str = "url",
     cluster_col: str = "cluster_id",
+    pinned: bool = False,
 ) -> DataFrame:
     """(run_id, url, cluster_id) × K runs → voted consensus edges
     (url_a < url_b, agree_runs, n_runs): pairs co-clustered in strictly
     more than ``min_agree`` of ALL runs (the reference's > 0.5 vote over
-    the averaged co-association matrix)."""
+    the averaged co-association matrix).
+
+    ``pinned=True`` declares the caller already materialized
+    ``clusterings`` (see :func:`_pin`); otherwise it is pinned here so
+    the self-join's two sides cannot observe different labels from a
+    nondeterministic upstream (e.g. DBSCAN border assignment)."""
+    if not pinned:
+        clusterings = _pin(clusterings)
     n_runs = clusterings.select(run_col).distinct().count()
     a = clusterings.select(
         F.col(run_col).alias("_r"),
@@ -86,9 +106,12 @@ def consensus_clusters(
     partition (url, cluster_id = component-min member), by majority
     co-association vote + transitive closure (module docstring).
     ``vertices`` defaults to the distinct urls of the input, so every
-    clustered url gets a consensus label (singletons label themselves)."""
+    clustered url gets a consensus label (singletons label themselves).
+    The input is pinned once (:func:`_pin`) so the vote, both join sides,
+    and the default vertex set all read one materialization."""
+    clusterings = _pin(clusterings)
     edges = coassociation_edges(
-        clusterings, min_agree, run_col, id_col, cluster_col
+        clusterings, min_agree, run_col, id_col, cluster_col, pinned=True
     ).select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
     if vertices is None:
         vertices = clusterings.select(F.col(id_col).alias("url")).distinct()

@@ -264,6 +264,7 @@ SUBSAMPLING = {
     "444": ((1, 1), (1, 1), (1, 1)),
     "422": ((2, 1), (1, 1), (1, 1)),
     "420": ((2, 2), (1, 1), (1, 1)),
+    "440": ((1, 2), (1, 1), (1, 1)),
 }
 
 
@@ -433,12 +434,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None
     scan = None
     entropy_start = None
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: bad marker alignment")
+        # spec-legal 0xFF fill bytes may pad before any marker (T.81
+        # B.1.1.2) — skip them rather than misparse as length segments
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            break
         marker = data[pos + 1]
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2  # TEM / RSTn are standalone: no length segment
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("jpeg: truncated marker segment")
         (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + length]
         if marker == 0xDB:

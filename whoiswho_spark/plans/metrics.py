@@ -383,3 +383,40 @@ def append_run_counters(
 
 def read_run_counters(spark: SparkSession, workdir: str) -> DataFrame:
     return spark.read.schema(RUN_COUNTERS_SCHEMA).parquet(f"{workdir}/counters")
+
+
+def append_cumulative_counters(
+    spark: SparkSession,
+    workdir: str,
+    run_id: str,
+    query: str,
+    cumulative: dict[str, int],
+) -> None:
+    """Record counters tallied over a GROWING log (e.g. a resumed
+    streaming parquet sink, where each drain's tally re-counts every
+    prior run's rows). Writes two rows per key: ``{key}_cumulative``
+    (the tally as given) and ``{key}_this_run`` (the delta vs the
+    largest previously recorded cumulative for this query — valid
+    because a grow-only log makes the cumulative tally monotone).
+    Summing ``*_this_run`` across runs equals the latest cumulative;
+    summing the raw cumulative rows would overstate (the bug this
+    helper exists to prevent)."""
+    from pyspark.errors import AnalysisException
+
+    prev: dict[str, int] = {}
+    try:
+        rows = (
+            read_run_counters(spark, workdir)
+            .where(F.col("query") == F.lit(query))
+            .groupBy("key")
+            .agg(F.max("value").alias("v"))
+            .collect()
+        )
+        prev = {r["key"]: int(r["v"]) for r in rows}
+    except AnalysisException:
+        pass  # first run: no counters table yet
+    out: dict[str, int] = {}
+    for k, v in cumulative.items():
+        out[f"{k}_cumulative"] = int(v)
+        out[f"{k}_this_run"] = max(0, int(v) - prev.get(f"{k}_cumulative", 0))
+    append_run_counters(spark, workdir, run_id, query, out)

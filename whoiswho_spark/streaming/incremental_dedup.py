@@ -317,10 +317,13 @@ def _surface_cap_hits_dedup(
     discipline): warn when any bucket hit max_bucket_size — pairs
     against the un-stored docs are under-reported from then on — and
     record ``buckets_at_cap`` / ``cap_dropped_members`` in the
-    run-counters lineage table. Cumulative over the pair log."""
+    run-counters lineage table, as BOTH ``*_cumulative`` (tallied over
+    the whole pair log — a resumed parquet sink holds prior runs' rows
+    too) and ``*_this_run`` (delta vs the previous recorded cumulative,
+    so per-run rows sum correctly across resumed drains)."""
     import warnings
 
-    from whoiswho_spark.plans.metrics import append_run_counters, new_run_id
+    from whoiswho_spark.plans.metrics import append_cumulative_counters, new_run_id
 
     cap = pairs.where(F.col("id_a") == F.lit(CAP_ID))
     agg = cap.agg(
@@ -338,7 +341,7 @@ def _surface_cap_hits_dedup(
             stacklevel=3,
         )
     if metrics_dir is not None:
-        append_run_counters(
+        append_cumulative_counters(
             spark, metrics_dir, run_id or new_run_id(), name,
             {"buckets_at_cap": buckets, "cap_dropped_members": dropped},
         )

@@ -411,12 +411,14 @@ def _surface_cap_hits(
     hit max_block_members (the partition is now a refinement of batch CC
     for those blocks — operators should see that at run time, not read
     it in a docstring) and record ``blocks_at_cap`` /
-    ``cap_dropped_members`` in the run-counters lineage table. Counts
-    are cumulative over the event log (a resumed parquet sink holds
-    prior runs' events too)."""
+    ``cap_dropped_members`` in the run-counters lineage table, as BOTH
+    ``*_cumulative`` (tallied over the whole event log — a resumed
+    parquet sink holds prior runs' events too) and ``*_this_run``
+    (delta vs the previous recorded cumulative, so per-run rows sum
+    correctly across resumed drains)."""
     import warnings
 
-    from whoiswho_spark.plans.metrics import append_run_counters, new_run_id
+    from whoiswho_spark.plans.metrics import append_cumulative_counters, new_run_id
 
     cap = events.where(F.col("url") == F.lit(CAP_ID))
     agg = cap.agg(
@@ -434,7 +436,7 @@ def _surface_cap_hits(
             stacklevel=3,
         )
     if metrics_dir is not None:
-        append_run_counters(
+        append_cumulative_counters(
             spark, metrics_dir, run_id or new_run_id(), name,
             {"blocks_at_cap": blocks, "cap_dropped_members": dropped},
         )
