@@ -122,30 +122,51 @@ def test_dimensions_agree_with_header_parser():
 
 
 def test_image_pixel_stats_dispatches_all_three(spark):
-    """The pixel stage now covers every container: PNG, GIF, AND JPEG
-    payloads all produce stats from genuinely decoded pixels."""
+    """The pixel stage now covers every container: PNG (truecolor,
+    palette+tRNS, interlaced, 16-bit), GIF, AND JPEG payloads all
+    produce stats from genuinely decoded pixels."""
     from whoiswho_spark.operators.gif_codec import encode_gif
     from whoiswho_spark.operators.multimodal import image_pixel_stats
-    from whoiswho_spark.operators.png_codec import encode_png
+    from whoiswho_spark.operators.png_codec import encode_png, encode_png_palette
 
     rs = np.random.RandomState(55)
     png_arr = rs.randint(0, 256, size=(8, 11, 3), dtype=np.uint8)
     pal = rs.randint(0, 256, size=(16, 3), dtype=np.uint8)
     gif_idx = rs.randint(0, 16, size=(7, 9), dtype=np.uint8)
     jpg_arr = rs.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    pal_idx = rs.randint(0, 16, size=(5, 6), dtype=np.uint8)
+    trns = rs.randint(0, 256, size=8, dtype=np.uint8)
+    arr16 = rs.randint(0, 65536, size=(4, 7, 3), dtype=np.uint16)
     rows = [
         (1, bytearray(encode_png(png_arr, filter_type=4))),
         (2, bytearray(encode_gif(gif_idx, pal))),
         (3, bytearray(encode_jpeg(jpg_arr))),
         (4, bytearray(b"\x00\x01 opaque")),
+        (5, bytearray(encode_png_palette(pal_idx, pal, trns=trns, depth=4))),
+        (6, bytearray(encode_png(png_arr, filter_type=2, interlace=True))),
+        (7, bytearray(encode_png(arr16))),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r["doc_id"]: r for r in image_pixel_stats(df).collect()}
-    assert set(got) == {1, 2, 3}
+    assert set(got) == {1, 2, 3, 5, 6, 7}
     assert got[3]["media_type"] == "image/jpeg"
     exp = _expected(jpg_arr)
     assert got[3]["px_mean"] == round(float(exp.mean()), 6)
     assert (got[3]["height"], got[3]["width"], got[3]["channels"]) == exp.shape
+    # palette+tRNS decodes to RGBA; stats over the looked-up pixels
+    alpha_tab = np.full(16, 255, dtype=np.uint8)
+    alpha_tab[:8] = trns
+    rgba = np.concatenate(
+        [pal[pal_idx], alpha_tab[pal_idx][:, :, None]], axis=2
+    )
+    assert got[5]["channels"] == 4
+    assert got[5]["px_mean"] == round(float(rgba.mean()), 6)
+    # interlaced decodes to the same pixels as the plain encoding
+    assert got[6]["px_mean"] == got[1]["px_mean"]
+    assert got[6]["px_std"] == got[1]["px_std"]
+    # 16-bit stats are over exact uint16 samples
+    assert got[7]["px_max"] == int(arr16.max())
+    assert got[7]["px_mean"] == round(float(arr16.mean()), 6)
 
 
 def test_resize_images_executes_the_plan_with_real_pixels(spark):
@@ -160,18 +181,25 @@ def test_resize_images_executes_the_plan_with_real_pixels(spark):
     big = rs.randint(0, 256, size=(40, 100, 3), dtype=np.uint8)   # downscale
     small = rs.randint(0, 256, size=(6, 9, 3), dtype=np.uint8)    # passthrough
     gray = rs.randint(0, 256, size=(80, 20), dtype=np.uint8)      # 1-channel
+    deep = rs.randint(0, 65536, size=(6, 9, 3), dtype=np.uint16)  # 16-bit
     rows = [
         (1, bytearray(encode_png(big))),
         (2, bytearray(encode_png(small))),
         (3, bytearray(encode_jpeg(gray))),
         (4, bytearray(b"not an image")),
+        (5, bytearray(encode_png(deep))),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {
         r["doc_id"]: r
         for r in resize_images(df, max_side=50, method="nearest").collect()
     }
-    assert set(got) == {1, 2, 3}
+    assert set(got) == {1, 2, 3, 5}
+    # 16-bit input is spec-downsampled to the 8-bit output container
+    assert np.array_equal(
+        decode_png(bytes(got[5]["payload"])),
+        np.round(deep.astype(np.float64) * (255.0 / 65535.0)).astype(np.uint8),
+    )
 
     # target dims match the Catalyst plan formula
     meta = spark.createDataFrame(

@@ -110,6 +110,55 @@ def test_simhash_adaptive_plan_regimes(spark):
     assert "CartesianProduct" not in tight_plan
 
 
+def test_ngram_prefix_meet_is_equi_join_catalyst_verify(spark):
+    """Flagship guard: the set-similarity join must meet on the (block,
+    token-rank) equi-key — never a nested-loop — and the Jaccard verify
+    must stay JVM-side (no Python eval stage in the plan)."""
+    plan = _plan(spark, "ngram_jaccard_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+
+
+def test_minhash_ownership_kills_global_pair_distinct(spark):
+    """Flagship guard: first-colliding-band ownership replaces the global
+    (id_a, id_b) distinct — the plan must contain NO Exchange that
+    repartitions on the pair key (that shuffle is the scale bottleneck
+    the ownership predicate exists to remove)."""
+    plan = _plan(spark, "minhash_dup_candidates")
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "id_a" in ln:
+            assert "id_b" not in ln, ln
+
+
+def test_er_candidate_pairs_meet_on_block_key(spark):
+    """Flagship guard (er_pipeline's pair stage): the within-block self
+    join must be an equi-join on the block key with no nested-loop
+    fallback, so pair generation stays Σ m_b² — never N²."""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.pairs import candidate_pairs
+
+    docs = entrymod._t(spark, SF, "documents")
+    blocks = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("source").alias("block_key"),
+    )
+    plan = (
+        candidate_pairs(blocks)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
 def test_consensus_agreement_meets_on_run_cluster_key(spark):
     """The co-association expansion must meet on (run_id, cluster_id) —
     quadratic only WITHIN a cluster, never a cartesian across the input —

@@ -376,6 +376,12 @@ def resize_images(
                         continue
                 except ValueError:
                     continue
+                if arr.dtype == np.uint16:
+                    # 16-bit PNG: exact spec downsample to the 8-bit
+                    # output container (round(v * 255 / 65535))
+                    arr = np.round(
+                        arr.astype(np.float64) * (255.0 / 65535.0)
+                    ).astype(np.uint8)
                 h, w = arr.shape[:2]
                 tw, th = _target(w, h)
                 res = _resize(arr, tw, th)
