@@ -97,11 +97,23 @@ def test_unsupported_streams_raise_loudly():
     png = encode_jpeg(arr)
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
-    # flip SOF0 -> SOF2 (progressive)
     sof_at = png.index(b"\xff\xc0")
+    # a baseline stream relabeled SOF2 is NOT valid progressive (its
+    # scan covers 0..63, but a progressive DC scan must have Se=0)
     prog = png[:sof_at] + b"\xff\xc2" + png[sof_at + 2 :]
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(prog)
+    # arithmetic-coded frames (SOF9-SOF11) are refused BY NAME — the
+    # loud-reject gate for the one entropy coder we don't implement
+    for sof in (b"\xff\xc9", b"\xff\xca", b"\xff\xcb"):
+        arith = png[:sof_at] + sof + png[sof_at + 2 :]
+        with pytest.raises(ValueError, match="arithmetic"):
+            decode_jpeg(arith)
+    # other SOF types (lossless, differential, hierarchical) stay out
+    for sof in (b"\xff\xc3", b"\xff\xc5", b"\xff\xc7"):
+        other = png[:sof_at] + sof + png[sof_at + 2 :]
+        with pytest.raises(ValueError, match="SOF0"):
+            decode_jpeg(other)
     # sampling factors beyond 2 stay out of scope
     m = bytearray(png)
     m[sof_at + 11] = 0x33  # first component's sampling byte
@@ -305,3 +317,123 @@ def test_subsampled_quality_sane_on_smooth_image():
     mse = float(((got - smooth) ** 2).mean())
     psnr = 10 * np.log10(255.0**2 / mse)
     assert psnr > 26, psnr  # chroma decimation costs a few dB vs 4:4:4
+
+
+# --- progressive (SOF2) ------------------------------------------------------
+
+
+@pytest.mark.parametrize("sub", ["444", "420", "422", "440"])
+def test_progressive_bitstream_exact_vs_math_twin(sub):
+    """Progressive encodes the SAME quantized coefficients as baseline,
+    just reordered across scans — so decode(encode_progressive(x)) must
+    equal the no-bitstream math twin EXACTLY, through spectral selection,
+    successive approximation, DC+AC refinement, and EOB runs."""
+    from whoiswho_spark.operators.jpeg_codec import encode_jpeg_progressive
+
+    rs = np.random.RandomState(17 + len(sub))
+    arr = rs.randint(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg_progressive(arr, subsampling=sub))
+    assert np.array_equal(got, _expected(arr, subsampling=sub)), sub
+
+
+def test_progressive_equals_baseline_decode():
+    """Free second gate: progressive and baseline streams of the same
+    image decode to identical pixels (gray + color, odd dims)."""
+    from whoiswho_spark.operators.jpeg_codec import encode_jpeg_progressive
+
+    rs = np.random.RandomState(21)
+    color = rs.randint(0, 256, size=(19, 29, 3), dtype=np.uint8)
+    gray = rs.randint(0, 256, size=(17, 23), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(color)),
+        decode_jpeg(encode_jpeg(color)),
+    )
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(gray)),
+        decode_jpeg(encode_jpeg(gray)),
+    )
+
+
+@pytest.mark.parametrize("al", [0, 1, 2, 3])
+def test_progressive_approximation_levels(al):
+    """al=0 is pure spectral selection (no refinement scans); higher al
+    exercises al successive-approximation refinement passes for both DC
+    (raw-bit) and AC (correction-bit walk) paths."""
+    from whoiswho_spark.operators.jpeg_codec import encode_jpeg_progressive
+
+    rs = np.random.RandomState(31 + al)
+    arr = rs.randint(0, 256, size=(24, 18, 3), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg_progressive(arr, al=al))
+    assert np.array_equal(got, _expected(arr))
+
+
+def test_progressive_band_splits_and_eob_runs():
+    """Finer spectral bands change scan structure but not pixels; a
+    smooth image produces long zero runs across blocks (EOBn > 0 with
+    extension bits) and a flat image is the EOB-run extreme."""
+    from whoiswho_spark.operators.jpeg_codec import encode_jpeg_progressive
+
+    rs = np.random.RandomState(41)
+    arr = rs.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    got = decode_jpeg(
+        encode_jpeg_progressive(arr, bands=((1, 2), (3, 10), (11, 63)))
+    )
+    assert np.array_equal(got, _expected(arr))
+    y, x = np.mgrid[0:48, 0:48]
+    smooth = np.stack(
+        [(y * 2 + x) % 256, (x * 3) % 256, ((y + x) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(smooth, subsampling="420")),
+        _expected(smooth, subsampling="420"),
+    )
+    flat = np.full((40, 40, 3), 77, dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(flat)), _expected(flat)
+    )
+    with pytest.raises(ValueError, match="bands"):
+        encode_jpeg_progressive(arr, bands=((1, 5), (7, 63)))  # gap at 6
+
+
+def test_progressive_dispatches_in_pixel_stage(spark):
+    """image_pixel_stats no longer skips the majority web-JPEG encoding:
+    progressive payloads produce the same stats as their baseline twins."""
+    from whoiswho_spark.operators.jpeg_codec import encode_jpeg_progressive
+    from whoiswho_spark.operators.multimodal import image_pixel_stats
+
+    rs = np.random.RandomState(51)
+    arr = rs.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_jpeg(arr))),
+        (2, bytearray(encode_jpeg_progressive(arr, subsampling="420"))),
+        (3, bytearray(encode_jpeg(arr, subsampling="420"))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in image_pixel_stats(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2]["media_type"] == "image/jpeg"
+    assert got[2]["px_mean"] == got[3]["px_mean"]  # same pixels as baseline
+    assert got[2]["px_std"] == got[3]["px_std"]
+
+
+def test_progressive_fuzzed_bytes_raise_only_valueerror():
+    """The multi-scan decode path holds the corrupt-input contract: any
+    mutation either decodes (harmless bit damage) or raises ValueError —
+    never an uncaught exception type that would kill a Spark task."""
+    import random
+
+    from whoiswho_spark.operators.jpeg_codec import encode_jpeg_progressive
+
+    rs = np.random.RandomState(61)
+    good = encode_jpeg_progressive(
+        rs.randint(0, 256, size=(16, 16, 3), dtype=np.uint8), subsampling="420"
+    )
+    rng = random.Random(13)
+    for _ in range(300):
+        m = bytearray(good)
+        for _ in range(rng.randrange(1, 8)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        try:
+            decode_jpeg(bytes(m))
+        except ValueError:
+            pass

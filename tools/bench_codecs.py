@@ -35,9 +35,9 @@ def main() -> None:
 
     from whoiswho_spark.operators.audio_codec import audio_features, encode_wav
     from whoiswho_spark.operators.gif_codec import encode_gif
-    from whoiswho_spark.operators.jpeg_codec import encode_jpeg
+    from whoiswho_spark.operators.jpeg_codec import encode_jpeg, encode_jpeg_progressive
     from whoiswho_spark.operators.multimodal import image_pixel_stats, resize_images
-    from whoiswho_spark.operators.png_codec import encode_png
+    from whoiswho_spark.operators.png_codec import encode_png, encode_png_palette
     from whoiswho_spark.operators.video_codec import encode_avi_mjpeg, video_frame_stats
     from whoiswho_spark.session import get_spark
 
@@ -55,7 +55,7 @@ def main() -> None:
                 i = int(i)
                 rs = np.random.RandomState(1000 + i)
                 arr = rs.randint(0, 256, size=(side, side, 3), dtype=np.uint8)
-                kind = i % 3
+                kind = i % 5
                 if kind == 0:
                     p = encode_png(arr, filter_type=i % 5)
                 elif kind == 1:
@@ -63,8 +63,17 @@ def main() -> None:
                     p = encode_gif(
                         rs.randint(0, 64, size=(side, side), dtype=np.uint8), pal
                     )
-                else:
+                elif kind == 2:
                     p = encode_jpeg(arr, subsampling="420")
+                elif kind == 3:
+                    # the majority real-world web encoding
+                    p = encode_jpeg_progressive(arr, subsampling="420")
+                else:
+                    pal = rs.randint(0, 256, size=(64, 3), dtype=np.uint8)
+                    p = encode_png_palette(
+                        rs.randint(0, 64, size=(side, side), dtype=np.uint8),
+                        pal, depth=8, interlace=bool(i % 2),
+                    )
                 ids.append(i)
                 payloads.append(p)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
@@ -84,6 +93,26 @@ def main() -> None:
 
     px_wall, px_rows = timed(image_pixel_stats(imgs))
     rz_wall, rz_rows = timed(resize_images(imgs, max_side=side // 2))
+
+    # dedicated progressive-JPEG row (the multi-scan decode path alone)
+    def gen_progressive(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                rs = np.random.RandomState(9000 + i)
+                arr = rs.randint(0, 256, size=(side, side, 3), dtype=np.uint8)
+                ids.append(i)
+                payloads.append(encode_jpeg_progressive(arr, subsampling="420"))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    prog = (
+        spark.range(0, args.images // 4, numPartitions=args.cpus * 2)
+        .mapInPandas(gen_progressive, schema="doc_id long, payload binary")
+        .persist()
+    )
+    prog.count()
+    pg_wall, pg_rows = timed(image_pixel_stats(prog))
 
     def gen_media(batches):
         for pdf in batches:
@@ -125,6 +154,10 @@ def main() -> None:
         "resize_images": {
             "wall_s": round(rz_wall, 2),
             "images_per_sec": round(rz_rows / rz_wall, 1),
+        },
+        "image_pixel_stats_progressive": {
+            "wall_s": round(pg_wall, 2),
+            "images_per_sec": round(pg_rows / pg_wall, 1),
         },
         "audio_features": {
             "wall_s": round(au_wall, 2),

@@ -1,13 +1,23 @@
-"""Real baseline-JPEG pixel decode in pure numpy — the last container.
+"""Real baseline + progressive JPEG pixel decode in pure numpy.
 
-Scope (rejected loudly otherwise): baseline sequential DCT (SOF0),
-8-bit, grayscale or YCbCr with sampling factors 1-2 — 4:4:4 AND the
-real-world subsampled shapes 4:2:0 / 4:2:2 / 4:4:0 (chroma decimated by
-block mean on encode, upsampled by sample replication on decode) —
-Huffman entropy coding, no restart markers. Progressive, larger
-sampling factors, 12-bit, and arithmetic-coded streams are refused with
-ValueError rather than approximately decoded — the png_codec/gif_codec
-honesty rule.
+Scope (rejected loudly otherwise): baseline sequential DCT (SOF0) AND
+progressive DCT (SOF2 — spectral selection + successive approximation,
+both DC and AC refinement passes, EOB runs), 8-bit, grayscale or YCbCr
+with sampling factors 1-2 — 4:4:4 AND the real-world subsampled shapes
+4:2:0 / 4:2:2 / 4:4:0 (chroma decimated by block mean on encode,
+upsampled by sample replication on decode) — Huffman entropy coding, no
+restart markers. Larger sampling factors, 12-bit, and arithmetic-coded
+streams (SOF9-SOF11) are refused with ValueError rather than
+approximately decoded — the png_codec/gif_codec honesty rule.
+
+Progressive decoding keeps one quantized-coefficient store per component
+(zigzag domain) that successive scans accumulate into: DC first scans
+write predicted diffs shifted by Al, DC refinement scans OR in one bit
+per block, AC first scans run-length decode a spectral band with EOB-run
+skips, and AC refinement scans replay the spec's correction-bit walk
+(T.81 G.1.2.3): every nonzero-history coefficient passed consumes a
+correction bit, newly significant coefficients insert ±1<<Al. The final
+IDCT happens once, after all scans.
 
 Gating strategy (tests/test_jpeg_codec.py): JPEG is lossy, so roundtrip
 cannot be byte-gated end-to-end like PNG/GIF. Instead the test computes
@@ -418,13 +428,305 @@ def _emit_block(bw, block, prev_dc, ci, dc_tab, ac_tab) -> None:
         bw.write(code, ln)
 
 
+
+# --- progressive encoding (the decoder's roundtrip twin) ----------------------
+
+
+def _uniform_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """Canonical Huffman table giving every symbol the same code length
+    L = bit_length(len(symbols)) — valid (2^L > n, the all-ones code of
+    the max length stays unassigned) and trivially correct; compression
+    optimality is not this encoder's job."""
+    n = len(symbols)
+    ln = max(1, n.bit_length())
+    bits = [0] * 16
+    bits[ln - 1] = n
+    return bits, list(symbols)
+
+
+#: AC first-scan symbols: (run 0-15, size 1-10), ZRL, EOBn for n 0-14
+_AC_FIRST_SYMBOLS = (
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [0xF0]
+    + [r << 4 for r in range(15)]
+)
+#: AC refinement symbols: (run 0-15, size 1), ZRL, EOBn for n 0-14
+_AC_REFINE_SYMBOLS = (
+    [(r << 4) | 1 for r in range(16)] + [0xF0] + [r << 4 for r in range(15)]
+)
+
+
+def _shift_ac(v: int, al: int) -> int:
+    """AC point transform: sign-magnitude shift (T.81 G.1.2.2)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    subsampling: str = "444",
+    bands: tuple = ((1, 5), (6, 63)),
+    al: int = 1,
+) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 → progressive (SOF2) JPEG.
+
+    Scan script (exercises every progressive decode path):
+      1. interleaved DC first scan at Al=``al``
+      2. per component × per spectral band in ``bands``: AC first scan
+         at Al=``al`` (EOB-run coding across blocks)
+      3. per approximation level down to 0: DC refinement (raw bits,
+         no Huffman) then per component × band AC refinement scans
+         (correction-bit walk).
+
+    Same quantized coefficients as ``encode_jpeg`` — so the decode
+    roundtrip is gated by the SAME no-bitstream math twin, and
+    progressive-vs-baseline decode equality is a free second gate. AC
+    scans use purpose-built uniform Huffman tables (incl. EOBn symbols,
+    redefined between first and refinement scans via mid-stream DHT).
+    """
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive: 8-bit arrays only")
+    if subsampling not in SUBSAMPLING:
+        raise ValueError(f"encode_jpeg_progressive: unknown subsampling {subsampling}")
+    if al < 0 or al > 10:
+        raise ValueError("encode_jpeg_progressive: al out of range")
+    lo, hi = zip(*bands)
+    if list(lo) + [64] != [1] + [h + 1 for h in hi]:
+        raise ValueError("encode_jpeg_progressive: bands must tile 1..63")
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    planes, quants, hv, hmax, vmax = component_planes(arr, subsampling)
+    coefs = [quantize_blocks(p - 128.0, q) for p, q in zip(planes, quants)]
+    ncomp = len(planes)
+    # zigzag-domain coefficient blocks per component
+    zz = [c.reshape(c.shape[0], c.shape[1], 64)[:, :, ZIGZAG] for c in coefs]
+
+    dc_tabs = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    if not gray:
+        dc_tabs.append(_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
+    first_bits, first_vals = _uniform_table(_AC_FIRST_SYMBOLS)
+    refine_bits, refine_vals = _uniform_table(_AC_REFINE_SYMBOLS)
+    ac_first = _canonical_codes(first_bits, first_vals)
+    ac_refine = _canonical_codes(refine_bits, refine_vals)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0]) + bytes(QUANT_LUMA.reshape(64)[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xFFDB, bytes([1]) + bytes(QUANT_CHROMA.reshape(64)[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        fh, fv = hv[ci]
+        sof += bytes([ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1])
+    out += seg(0xFFC2, sof)  # SOF2: progressive DCT
+    out += seg(0xFFC4, bytes([0x00] + DC_LUMA_BITS + DC_LUMA_VALS))
+    if not gray:
+        out += seg(0xFFC4, bytes([0x01] + DC_CHROMA_BITS + DC_CHROMA_VALS))
+
+    def sos_header(comp_ids: list[tuple[int, int, int]], ss: int, se: int,
+                   ah: int, al_: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid, dc_t, ac_t in comp_ids:
+            body += bytes([cid, (dc_t << 4) | ac_t])
+        body += bytes([ss, se, (ah << 4) | al_])
+        return seg(0xFFDA, body)
+
+    mcu_by = zz[0].shape[0] // hv[0][1]
+    mcu_bx = zz[0].shape[1] // hv[0][0]
+
+    def interleaved_walk():
+        for my in range(mcu_by):
+            for mx in range(mcu_bx):
+                for ci in range(ncomp):
+                    fh, fv = hv[ci]
+                    for r in range(fv):
+                        for c in range(fh):
+                            yield ci, my * fv + r, mx * fh + c
+
+    def comp_blocks(ci: int):
+        """Non-interleaved grid: ceil(comp_dim/8), NOT MCU-padded."""
+        fh, fv = hv[ci]
+        nbx = (-(-(w * fh) // hmax) + 7) // 8
+        nby = (-(-(h * fv) // vmax) + 7) // 8
+        for by in range(nby):
+            for bx in range(nbx):
+                yield by, bx
+
+    # scan 1: DC first, interleaved, Al=al (DC point transform is the
+    # ARITHMETIC shift — T.81 G.1.2.1)
+    out += sos_header(
+        [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)], 0, 0, 0, al
+    )
+    bw = _BitWriter()
+    prev = [0] * ncomp
+    for ci, by, bx in interleaved_walk():
+        val = int(zz[ci][by, bx, 0]) >> al
+        diff = val - prev[ci]
+        prev[ci] = val
+        s = _category(diff)
+        code, ln = dc_tabs[0 if ci == 0 else 1][s]
+        bw.write(code, ln)
+        if s:
+            bw.write(_amplitude_bits(diff, s), s)
+    out += bw.flush()
+
+    # AC first scans (single-component, per band), table tid 0
+    out += seg(0xFFC4, bytes([0x10] + first_bits + first_vals))
+    for ci in range(ncomp):
+        for ss, se in bands:
+            out += sos_header([(ci + 1, 0, 0)], ss, se, 0, al)
+            bw = _BitWriter()
+            eobrun = 0
+
+            def emit_eobrun():
+                nonlocal eobrun
+                if eobrun:
+                    n = eobrun.bit_length() - 1
+                    code, ln = ac_first[n << 4]
+                    bw.write(code, ln)
+                    if n:
+                        bw.write(eobrun - (1 << n), n)
+                    eobrun = 0
+
+            for by, bx in comp_blocks(ci):
+                vals = [_shift_ac(int(zz[ci][by, bx, k]), al) for k in range(ss, se + 1)]
+                if not any(vals):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        emit_eobrun()
+                    continue
+                emit_eobrun()
+                run = 0
+                for v in vals:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_first[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = ac_first[(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(_amplitude_bits(v, s), s)
+                    run = 0
+                if run:
+                    eobrun = 1  # trailing zeros: pending EOB, may merge on
+            emit_eobrun()
+            out += bw.flush()
+
+    # refinement levels: a = al-1 .. 0, each Ah = a+1, Al = a
+    redefined = False
+    for a in range(al - 1, -1, -1):
+        # DC refinement: interleaved, one raw bit per block, NO Huffman
+        out += sos_header(
+            [(ci + 1, 0, 0) for ci in range(ncomp)], 0, 0, a + 1, a
+        )
+        bw = _BitWriter()
+        for ci, by, bx in interleaved_walk():
+            # DC point transform is the ARITHMETIC shift: the refinement
+            # bit is the two's-complement bit, not the magnitude bit
+            bw.write((int(zz[ci][by, bx, 0]) >> a) & 1, 1)
+        out += bw.flush()
+        if not redefined:
+            # redefine AC tid 0 mid-stream for the refinement scans
+            out += seg(0xFFC4, bytes([0x10] + refine_bits + refine_vals))
+            redefined = True
+        for ci in range(ncomp):
+            for ss, se in bands:
+                out += sos_header([(ci + 1, 0, 0)], ss, se, a + 1, a)
+                bw = _BitWriter()
+                eobrun = 0
+                pending: list[int] = []  # correction bits queued in the EOB run
+
+                def emit_eobrun_r():
+                    nonlocal eobrun, pending
+                    if eobrun:
+                        n = eobrun.bit_length() - 1
+                        code, ln = ac_refine[n << 4]
+                        bw.write(code, ln)
+                        if n:
+                            bw.write(eobrun - (1 << n), n)
+                        eobrun = 0
+                    for b in pending:
+                        bw.write(b, 1)
+                    pending = []
+
+                for by, bx in comp_blocks(ci):
+                    temps = [abs(int(zz[ci][by, bx, k])) >> a for k in range(ss, se + 1)]
+                    signs = [int(zz[ci][by, bx, k]) > 0 for k in range(ss, se + 1)]
+                    eob = -1  # index (in band) of last newly-significant coef
+                    for i, t in enumerate(temps):
+                        if t == 1:
+                            eob = i
+                    run = 0
+                    br_bits: list[int] = []
+                    for i, t in enumerate(temps):
+                        if t == 0:
+                            run += 1
+                            continue
+                        while run > 15 and i <= eob:
+                            emit_eobrun_r()
+                            code, ln = ac_refine[0xF0]
+                            bw.write(code, ln)
+                            run -= 16
+                            for b in br_bits:
+                                bw.write(b, 1)
+                            br_bits = []
+                        if t > 1:
+                            br_bits.append(t & 1)
+                            continue
+                        emit_eobrun_r()
+                        code, ln = ac_refine[(run << 4) | 1]
+                        bw.write(code, ln)
+                        bw.write(1 if signs[i] else 0, 1)
+                        for b in br_bits:
+                            bw.write(b, 1)
+                        br_bits = []
+                        run = 0
+                    if run > 0 or br_bits:
+                        eobrun += 1
+                        pending.extend(br_bits)
+                        if eobrun == 0x7FFF:
+                            emit_eobrun_r()
+                emit_eobrun_r()
+                out += bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- decode -------------------------------------------------------------------
+
+
+def _entropy_end(data: bytes, start: int) -> int:
+    """First position ≥ start holding a real marker (0xFF followed by
+    anything but 0x00 stuffing, RSTn, or another 0xFF fill byte) — the
+    end of a scan's entropy-coded segment."""
+    i, n = start, len(data)
+    while i + 1 < n:
+        if data[i] == 0xFF:
+            nxt = data[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            if nxt == 0xFF:
+                i += 1
+                continue
+            return i
+        i += 1
+    return n
+
+
 @corrupt_input_guard
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w, ch) uint8 (ch = 1 or 3, RGB).
-    Sampling factors 1 and 2 are supported (4:4:4, 4:2:2, 4:2:0, 4:4:0;
-    chroma upsampled by sample replication). Raises ValueError for
-    progressive, larger sampling factors, 12-bit, restart-interval, or
-    arithmetic-coded streams."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG bytes → (h, w, ch)
+    uint8 (ch = 1 or 3, RGB). Sampling factors 1 and 2 are supported
+    (4:4:4, 4:2:2, 4:2:0, 4:4:0; chroma upsampled by sample
+    replication). Raises ValueError for other SOF types (incl.
+    arithmetic-coded SOF9-SOF11), larger sampling factors, 12-bit, or
+    restart-interval streams."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: not a JPEG")
     pos = 2
@@ -432,8 +734,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
-    scan = None
-    entropy_start = None
+    progressive = False
+    coef: list[np.ndarray] | None = None  # per-comp (by, bx, 64) zigzag
+    geom = None
+    scans_seen = 0
+
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: bad marker alignment")
@@ -472,7 +777,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + n])
                 (huff_dc if cls == 0 else huff_ac)[tid] = _decode_table(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -488,92 +794,74 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append((cid, tq, fh, fv))
             check_dimensions(w, h, "decode_jpeg")
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("jpeg: only baseline SOF0 supported")
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            mcu_by = -(-h // (8 * vmax))
+            mcu_bx = -(-w // (8 * hmax))
+            coef = [
+                np.zeros((mcu_by * fv, mcu_bx * fh, 64), dtype=np.int32)
+                for _cid, _tq, fh, fv in comps
+            ]
+            # non-interleaved block grids: ceil(comp_dim/8), NOT padded
+            nb = [
+                ((-(-(h * fv) // vmax) + 7) // 8, (-(-(w * fh) // hmax) + 7) // 8)
+                for _cid, _tq, fh, fv in comps
+            ]
+            geom = (hmax, vmax, mcu_by, mcu_bx, nb)
+        elif marker in (0xC9, 0xCA, 0xCB):
+            raise ValueError("jpeg: arithmetic coding unsupported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC8):
+            raise ValueError("jpeg: only baseline SOF0 / progressive SOF2 supported")
         elif marker == 0xDD:
             raise ValueError("jpeg: restart intervals unsupported")
         elif marker == 0xDA:
+            if frame is None or coef is None:
+                raise ValueError("jpeg: SOS before SOF")
+            h, w, comps = frame
+            hmax, vmax, mcu_by, mcu_bx, nb = geom
             ns = body[0]
             scan = [(body[1 + i * 2], body[2 + i * 2]) for i in range(ns)]
+            ss, se = body[1 + ns * 2], body[2 + ns * 2]
+            ah, al = body[3 + ns * 2] >> 4, body[3 + ns * 2] & 0x0F
+            frame_idx = {cid: i for i, (cid, _tq, _fh, _fv) in enumerate(comps)}
+            order = []
+            for sid, tabs in scan:
+                if sid not in frame_idx:
+                    raise ValueError(f"jpeg: scan references unknown component {sid}")
+                order.append((frame_idx[sid], tabs >> 4, tabs & 0x0F))
             entropy_start = pos + 2 + length
-            break
+            end = _entropy_end(data, entropy_start)
+            br = _BitReader(data[entropy_start:end])
+            _decode_scan(
+                br, coef, comps, order, ss, se, ah, al, progressive,
+                huff_dc, huff_ac, mcu_by, mcu_bx, nb,
+            )
+            scans_seen += 1
+            pos = end
+            continue
         pos += 2 + length
-    if frame is None or scan is None or entropy_start is None:
+
+    if frame is None or coef is None or scans_seen == 0:
         raise ValueError("jpeg: missing SOF/SOS")
     h, w, comps = frame
-    if len(scan) != len(comps):
-        raise ValueError("jpeg: scan/frame component mismatch")
-    # entropy data is interleaved in SCAN order, which a foreign baseline
-    # file may list differently from the frame header — decode in scan
-    # order but write into FRAME-ordered planes (Y,Cb,Cr for the color
-    # transform); our own encoder emits the two aligned
-    frame_idx = {cid: i for i, (cid, _tq, _fh, _fv) in enumerate(comps)}
-    order = []
-    for sid, tabs in scan:
-        if sid not in frame_idx:
-            raise ValueError(f"jpeg: scan references unknown component {sid}")
-        order.append((frame_idx[sid], tabs))
-    # entropy data runs to the EOI marker (byte-stuffed 0xFF00 inside)
-    end = data.rfind(b"\xff\xd9")
-    if end < 0:
-        raise ValueError("jpeg: missing EOI")
-    br = _BitReader(data[entropy_start:end])
-    hmax = max(c[2] for c in comps)
-    vmax = max(c[3] for c in comps)
-    mcu_by = -(-h // (8 * vmax))
-    mcu_bx = -(-w // (8 * hmax))
-    # per-component plane at ITS resolution (MCU-aligned)
-    planes = [
-        np.zeros((mcu_by * 8 * fv, mcu_bx * 8 * fh))
-        for _cid, _tq, fh, fv in comps
-    ]
-    prev_dc = [0] * len(comps)
-
-    def read_symbol(table: dict) -> int:
-        code, ln = 0, 0
-        while ln < 16:
-            code = (code << 1) | br.bit()
-            ln += 1
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("jpeg: invalid Huffman code")
-
-    def read_block(tq: int, ci: int, dc_tid: int, ac_tid: int) -> np.ndarray:
-        zz = np.zeros(64, dtype=np.int64)
-        s = read_symbol(huff_dc[dc_tid])
-        diff = _extend(br.bits(s), s) if s else 0
-        prev_dc[ci] += diff
-        zz[0] = prev_dc[ci]
-        k = 1
-        while k < 64:
-            sym = read_symbol(huff_ac[ac_tid])
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            run, s = sym >> 4, sym & 0x0F
-            k += run
-            if k > 63:
-                raise ValueError("jpeg: AC run past block end")
-            zz[k] = _extend(br.bits(s), s)
-            k += 1
-        coef = np.zeros(64, dtype=np.int64)
-        coef[ZIGZAG] = zz
-        return idct2(coef.reshape(8, 8) * quant[tq]) + 128.0
-
-    for my in range(mcu_by):
-        for mx in range(mcu_bx):
-            for ci, tabs in order:
-                _cid, tq, fh, fv = comps[ci]
-                for r in range(fv):
-                    for c in range(fh):
-                        by_, bx_ = my * fv + r, mx * fh + c
-                        planes[ci][
-                            by_ * 8 : by_ * 8 + 8, bx_ * 8 : bx_ * 8 + 8
-                        ] = read_block(tq, ci, tabs >> 4, tabs & 0x0F)
-    # upsample subsampled components by sample replication, then crop
+    hmax, vmax, mcu_by, mcu_bx, nb = geom
+    # dequantize + IDCT once, after all scans (per block, bit-exact with
+    # the single-scan baseline path and the no-bitstream math twin)
+    planes = []
+    for ci, (_cid, tq, fh, fv) in enumerate(comps):
+        if tq not in quant:
+            raise ValueError("jpeg: missing quantization table")
+        q = quant[tq]
+        by_t, bx_t = coef[ci].shape[:2]
+        plane = np.zeros((by_t * 8, bx_t * 8))
+        for by in range(by_t):
+            for bx in range(bx_t):
+                c64 = np.zeros(64, dtype=np.int64)
+                c64[ZIGZAG] = coef[ci][by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    idct2(c64.reshape(8, 8) * q) + 128.0
+                )
+        planes.append(plane)
     full = []
     for p, (_cid, _tq, fh, fv) in zip(planes, comps):
         if fv < vmax:
@@ -585,3 +873,168 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[:, :, None]
     rgb = ycbcr_to_rgb(np.stack(full, axis=-1))
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _read_symbol(br: _BitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid Huffman code")
+
+
+def _decode_scan(
+    br, coef, comps, order, ss, se, ah, al, progressive,
+    huff_dc, huff_ac, mcu_by, mcu_bx, nb,
+) -> None:
+    """Decode one scan's entropy data into the coefficient stores.
+    ``order`` = [(frame component index, dc table id, ac table id)] in
+    SCAN order (the interleave order for multi-component scans)."""
+
+    def interleaved_walk():
+        for my in range(mcu_by):
+            for mx in range(mcu_bx):
+                for ci, dc_t, ac_t in order:
+                    _cid, _tq, fh, fv = comps[ci]
+                    for r in range(fv):
+                        for c in range(fh):
+                            yield ci, my * fv + r, mx * fh + c, dc_t, ac_t
+
+    def single_walk():
+        ci, dc_t, ac_t = order[0]
+        nby, nbx = nb[ci]
+        for by in range(nby):
+            for bx in range(nbx):
+                yield ci, by, bx, dc_t, ac_t
+
+    walk = interleaved_walk if len(order) > 1 else single_walk
+
+    if not progressive:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError("jpeg: baseline scan must cover 0..63 at Ah=Al=0")
+        prev = [0] * len(comps)
+        for ci, by, bx, dc_t, ac_t in walk():
+            zz = coef[ci][by, bx]
+            s = _read_symbol(br, huff_dc[dc_t])
+            diff = _extend(br.bits(s), s) if s else 0
+            prev[ci] += diff
+            zz[0] = prev[ci]
+            k = 1
+            while k < 64:
+                sym = _read_symbol(br, huff_ac[ac_t])
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, s = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63:
+                    raise ValueError("jpeg: AC run past block end")
+                zz[k] = _extend(br.bits(s), s)
+                k += 1
+        return
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("jpeg: progressive DC scan must have Se=0")
+        if ah == 0:  # first pass: predicted diffs at approximation Al
+            prev = [0] * len(comps)
+            for ci, by, bx, dc_t, _ac_t in walk():
+                s = _read_symbol(br, huff_dc[dc_t])
+                diff = _extend(br.bits(s), s) if s else 0
+                prev[ci] += diff
+                coef[ci][by, bx, 0] = prev[ci] << al
+        else:  # refinement: one raw bit per block, ORed in at Al
+            bit = 1 << al
+            for ci, by, bx, _dc_t, _ac_t in walk():
+                if br.bit():
+                    coef[ci][by, bx, 0] |= bit
+        return
+
+    # AC scans are single-component by spec
+    if len(order) != 1:
+        raise ValueError("jpeg: progressive AC scan must be single-component")
+    if se > 63 or ss > se:
+        raise ValueError("jpeg: bad spectral band")
+    ci, _dc_t, ac_t = order[0]
+    nby, nbx = nb[ci]
+    eobrun = 0
+    if ah == 0:  # AC first pass over the band
+        for by in range(nby):
+            for bx in range(nbx):
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                zz = coef[ci][by, bx]
+                k = ss
+                while k <= se:
+                    sym = _read_symbol(br, huff_ac[ac_t])
+                    run, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += br.bits(run)
+                        break
+                    k += run
+                    if k > se:
+                        raise ValueError("jpeg: AC run past band end")
+                    zz[k] = _extend(br.bits(s), s) << al
+                    k += 1
+        return
+
+    # AC refinement (T.81 G.1.2.3): correction-bit walk
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(zz, k) -> None:
+        if br.bit() and (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if zz[k] > 0 else m1
+
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = coef[ci][by, bx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = _read_symbol(br, huff_ac[ac_t])
+                    run, s = sym >> 4, sym & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if run < 15:  # EOBn: run of end-of-bands
+                            # INCLUDES the current block (its remaining
+                            # correction bits are read below) — unlike
+                            # the first pass, where break consumes it
+                            eobrun = 1 << run
+                            if run:
+                                eobrun += br.bits(run)
+                            break
+                        # run == 15: ZRL — skip 16 zero-history coefs
+                    else:
+                        if s != 1:
+                            raise ValueError("jpeg: bad refinement magnitude")
+                        newval = p1 if br.bit() else m1
+                    while k <= se:
+                        if zz[k] != 0:
+                            correct(zz, k)
+                        else:
+                            if run == 0:
+                                if newval:
+                                    zz[k] = newval
+                                k += 1
+                                break
+                            run -= 1
+                        k += 1
+            if eobrun > 0:
+                # blocks inside the EOB run still refine their nonzero
+                # history coefficients (one correction bit each)
+                while k <= se:
+                    if zz[k] != 0:
+                        correct(zz, k)
+                    k += 1
+                eobrun -= 1
