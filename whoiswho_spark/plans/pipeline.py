@@ -74,6 +74,13 @@ class ERConfig:
     use_relational: bool = False
     relational_repeats: int = 2
     text_weight: float = 1.0
+    # propagation channel (dbscan/consensus paths): smooth embeddings
+    # over the thresholded scored-pair graph before DBSCAN — the
+    # torch-free analog of BOND's GAE feature smoothing
+    # (autotrain_bond.py:164-228; operators/propagation.py)
+    use_propagation: bool = False
+    propagation_iterations: int = 2
+    propagation_beta: float = 0.5
     # bucketed stage checkpoints: payload/embeddings/blocks bucketed on
     # url and pairs on url_a, so every later join on those keys — in
     # this run or a resumed one — reads the stored layout without an
@@ -265,7 +272,24 @@ def run_pipeline(
                     min_samples=cfg.dbscan_min_samples,
                 )
             else:
-                bp = blocks.join(embeddings.select("url", "embedding"), "url")
+                embs = embeddings.select("url", "embedding")
+                if cfg.use_propagation:
+                    from whoiswho_spark.operators.propagation import (
+                        propagate_embeddings,
+                    )
+
+                    # smooth along the ≥threshold scored pairs — the GAE
+                    # mechanism: semantic features contracted over the
+                    # high-similarity graph before DBSCAN
+                    embs = propagate_embeddings(
+                        embs,
+                        pairs.where(F.col("score") >= cfg.threshold).select(
+                            "url_a", "url_b", "score"
+                        ),
+                        iterations=cfg.propagation_iterations,
+                        beta=cfg.propagation_beta,
+                    )
+                bp = blocks.join(embs, "url")
                 labels = cluster_blocks_dbscan(
                     bp, eps=cfg.dbscan_eps, min_samples=cfg.dbscan_min_samples
                 )
