@@ -125,6 +125,122 @@ def _est_jaccard(sig_a: str, sig_b: str) -> float:
     return sum(1 for x, y in zip(pa, pb) if x == y) / len(pa)
 
 
+def _parse_sig_row(s) -> "np.ndarray | None":
+    """One signature string → int64 vector, or None if non-numeric."""
+    import numpy as np
+
+    try:
+        parts = s.split("_")
+        if not parts or parts == [""]:
+            return None
+        return np.array(parts, dtype=np.int64)
+    except (ValueError, AttributeError):
+        return None
+
+
+def _parse_sig_matrix(sigs: list) -> "np.ndarray | None":
+    """Signature strings ('h1_h2_...') → (n, H) int64 matrix, or None if
+    the strings are ragged/non-numeric (e.g. state written with a
+    different num_hashes) — callers fall back to the per-pair path,
+    which scores mismatched lengths 0.0 like the batch estimator."""
+    import numpy as np
+
+    if not sigs:
+        return np.zeros((0, 0), dtype=np.int64)
+    try:
+        parts = [s.split("_") for s in sigs]
+        h = len(parts[0])
+        if h == 0 or any(len(p) != h for p in parts):
+            return None
+        return np.array(parts, dtype=np.int64)
+    except (ValueError, TypeError):
+        return None
+
+
+def _match_bucket_vectorized(
+    band, bucket, pdf, ids, sigs, tss, max_bucket_size, out_parts
+) -> tuple:
+    """No-retention fast path: the whole bucket-batch in numpy. All new
+    docs pair against the ORIGINAL members (one signature-equality
+    broadcast) and against earlier-ADMITTED new docs (closed-form: with
+    no evictions, exactly the first ``cap - len(ids)`` new docs are
+    admitted). Emission order — per new doc: original-member pairs in
+    state order, earlier-admitted pairs in admission order, then the cap
+    sentinel — matches the sequential path row for row, so determinism
+    claims and parity tests carry over unchanged. Returns the updated
+    (ids, sigs, tss)."""
+    import numpy as np
+
+    pdf = pdf[pdf["doc_id"] != MAINTENANCE_ID]
+    if len(ids):
+        pdf = pdf[~pdf["doc_id"].isin(set(ids))]
+    pdf = pdf.drop_duplicates("doc_id", keep="first")
+    n_new = len(pdf)
+    if n_new == 0:
+        return ids, sigs, tss
+    new_ids = pdf["doc_id"].to_numpy(dtype=object)
+    new_sigs = list(pdf["sig"])
+    new_tss = pdf["ts"].to_numpy()
+    old_mat = _parse_sig_matrix(sigs)
+    new_mat = _parse_sig_matrix(new_sigs)
+    if (
+        old_mat is None
+        or new_mat is None
+        or (len(ids) and new_mat.shape[1] != old_mat.shape[1])
+    ):
+        return None  # ragged signatures: caller uses the per-pair path
+    n_old = len(ids)
+    slots = max(0, max_bucket_size - n_old)
+    k_adm = min(slots, n_new)
+    # (n_new, n_old) and (n_new, k_adm) agreement fractions, one op each
+    if n_old:
+        est_old = (new_mat[:, None, :] == old_mat[None, :, :]).mean(axis=2)
+        old_arr = np.array(ids, dtype=object)
+    if k_adm:
+        adm = new_mat[:k_adm]
+        est_new = (new_mat[:, None, :] == adm[None, :, :]).mean(axis=2)
+    ia, ib, est = [], [], []
+    cap_size = float(n_old + k_adm)
+    for i in range(n_new):
+        me = new_ids[i]
+        if n_old:
+            lo = np.where(old_arr < me, old_arr, me)
+            hi = np.where(old_arr < me, me, old_arr)
+            ia.append(lo)
+            ib.append(hi)
+            est.append(est_old[i])
+        k = min(i, k_adm)
+        if k:
+            prev = new_ids[:k]
+            lo = np.where(prev < me, prev, me)
+            hi = np.where(prev < me, me, prev)
+            ia.append(lo)
+            ib.append(hi)
+            est.append(est_new[i, :k])
+        if i >= slots:  # not admitted: cap sentinel after its pairs
+            ia.append(np.array([CAP_ID], dtype=object))
+            ib.append(np.array([me], dtype=object))
+            est.append(np.array([cap_size]))
+    if ia:
+        ia_all = np.concatenate(ia)
+        n_rows = len(ia_all)
+        out_parts.append(
+            {
+                "id_a": ia_all,
+                "id_b": np.concatenate(ib),
+                "band": np.full(n_rows, band),
+                "bucket": np.full(n_rows, bucket, dtype=object),
+                "est_jaccard": np.concatenate(est),
+            }
+        )
+    admitted = slice(0, k_adm)
+    return (
+        ids + list(new_ids[admitted]),
+        sigs + list(new_sigs[:k_adm]),
+        tss + [int(t) for t in new_tss[:k_adm]],
+    )
+
+
 def make_bucket_matcher(
     max_bucket_size: int = 256, retention_seconds: int | None = None
 ):
@@ -153,6 +269,8 @@ def make_bucket_matcher(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         band, bucket = key[0], key[1]
         if state.exists:
             ids, sigs, tss = (list(x) for x in state.get)
@@ -160,15 +278,30 @@ def make_bucket_matcher(
             ids, sigs, tss = [], [], []
         known = set(ids)
 
+        out_parts: list = []
         out = {"id_a": [], "id_b": [], "band": [], "bucket": [], "est_jaccard": []}
         chunks = list(pdfs)
         whole = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        vector_done = False
         if len(whole):
             # event-time order when retention is on (eviction must see
             # docs oldest-first); plain id order otherwise — both are
             # deterministic for a given file split
             sort_keys = ["ts", "doc_id"] if retention_seconds is not None else ["doc_id"]
             pdf = whole.sort_values(sort_keys)
+            if retention_seconds is None:
+                # fast path: the whole bucket-batch in one numpy block
+                res = _match_bucket_vectorized(
+                    band, bucket, pdf, ids, sigs, tss, max_bucket_size, out_parts
+                )
+                if res is not None:
+                    ids, sigs, tss = res
+                    vector_done = True
+        if len(whole) and not vector_done:
+            # retention path (and the ragged-signature fallback):
+            # sequential admission/eviction, with each doc's agreement
+            # vector computed in one numpy op against the member matrix
+            rows = [_parse_sig_row(s) for s in sigs]
             for doc_id, sig, ts in zip(pdf["doc_id"], pdf["sig"], pdf["ts"]):
                 if doc_id == MAINTENANCE_ID:
                     # sweep-only touch: evict at this ts, no pair, no admit
@@ -184,6 +317,7 @@ def make_bucket_matcher(
                             ids = [ids[i] for i in keep]
                             sigs = [sigs[i] for i in keep]
                             tss = [tss[i] for i in keep]
+                            rows = [rows[i] for i in keep]
                     continue
                 if doc_id in known:
                     # already a member of THIS bucket: the row adds
@@ -205,17 +339,30 @@ def make_bucket_matcher(
                         ids = [ids[i] for i in keep]
                         sigs = [sigs[i] for i in keep]
                         tss = [tss[i] for i in keep]
-                for old_id, old_sig in zip(ids, sigs):
-                    a, b = sorted((old_id, doc_id))
-                    out["id_a"].append(a)
-                    out["id_b"].append(b)
-                    out["band"].append(band)
-                    out["bucket"].append(bucket)
-                    out["est_jaccard"].append(_est_jaccard(sig, old_sig))
+                        rows = [rows[i] for i in keep]
+                if ids:
+                    new_row = _parse_sig_row(sig)
+                    if new_row is not None and all(
+                        r is not None and r.shape == new_row.shape for r in rows
+                    ):
+                        ests = (np.stack(rows) == new_row).mean(axis=1)
+                    else:
+                        ests = np.array(
+                            [_est_jaccard(sig, s) for s in sigs]
+                        )
+                    old_arr = np.array(ids, dtype=object)
+                    lo = np.where(old_arr < doc_id, old_arr, doc_id)
+                    hi = np.where(old_arr < doc_id, doc_id, old_arr)
+                    out["id_a"].extend(lo.tolist())
+                    out["id_b"].extend(hi.tolist())
+                    out["band"].extend([band] * len(ids))
+                    out["bucket"].extend([bucket] * len(ids))
+                    out["est_jaccard"].extend(ests.tolist())
                 if len(ids) < max_bucket_size:
                     ids.append(doc_id)
                     sigs.append(sig)
                     tss.append(int(ts))
+                    rows.append(_parse_sig_row(sig))
                 else:
                     # cap hit: the doc paired with the retained members
                     # but is NOT stored — future docs can't pair with it
@@ -234,7 +381,21 @@ def make_bucket_matcher(
             # fully evicted (maintenance sweep or retention): drop the
             # state row so cold buckets stop occupying the store
             state.remove()
-        yield pd.DataFrame(out)
+        if out["id_a"]:
+            out_parts.append(out)
+        if not out_parts:
+            yield pd.DataFrame(out)
+            return
+        yield pd.DataFrame(
+            {
+                col: np.concatenate(
+                    [np.asarray(p[col], dtype=object if col in
+                                ("id_a", "id_b", "bucket") else None)
+                     for p in out_parts]
+                )
+                for col in ("id_a", "id_b", "band", "bucket", "est_jaccard")
+            }
+        )
 
     return match
 
