@@ -112,6 +112,97 @@ HEADLINE_SF1 = [
 ]
 
 
+def consensus_probe(spark, outdir: str) -> dict:
+    """Non-degenerate consensus evidence at sf1: three DIFFERENT
+    dedup channels — exact token-set identity, SimHash hamming ≤ 8, and
+    n-gram Jaccard ≥ 0.97 — each closed to a clustering (CC for the pair
+    channels), then combined by the 2-of-3 co-association vote + CC
+    closure of ``consensus_clusters``.
+
+    Unlike the round-4 probe (exact/prefix/coarse runs: the synthetic
+    corpus has no exact TEXT dups, so no pair could reach a majority and
+    the vote degenerated to singletons), these channels measure the
+    corpus's real near-dup structure — long docs over the 31-word vocab
+    share nearly-identical token SETS — at three granularities that
+    disagree at the margins, so the 2-of-3 vote does real work.
+
+    Threshold tuning around the corpus's dup density (measured pair
+    counts at 50k docs, the reason these channels and not MinHash):
+    background char-shingle similarity here is so high that MinHash LSH
+    cannot threshold sharply at ANY band size — 8 hashes / 4 rows-per-
+    band emits 500M candidate pairs, one 8-row band 129M, one 32-row
+    band still 23.8M (J^32 keeps 3% of a J≈0.9 tail this corpus has in
+    the hundreds of millions of pairs) — and CC over tens of millions of
+    edges merges most of the corpus into one component, whose
+    co-association expansion is quadratic (|C|² ≈ 10⁹). The channels
+    used instead are each ≤ ~250k pairs: simhash h≤8 = 225,756, ngram
+    τ=0.97 = 214,410, exact-set classes (J=1.0 subsets of the ngram
+    channel). The exact channel is nested inside ngram; simhash is not
+    nested in either, so the majority is NOT simply the median run."""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.clustering import connected_components
+    from whoiswho_spark.operators.consensus import consensus_clusters
+    from whoiswho_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+        simhash_dup_pairs_bucketed,
+    )
+
+    docs = spark.read.parquet(f"{outdir}/documents.parquet")
+    verts = docs.select(F.col("doc_id").cast("string").alias("url"))
+
+    t0 = time.monotonic()
+    # run 1 — exact distinct-token-set identity: a direct partition, no
+    # pair expansion needed to BUILD it (consensus still expands it)
+    tokens = F.array_sort(F.array_distinct(F.split(F.lower("text"), "\\s+")))
+    stacked = docs.select(
+        F.lit("exact_set").alias("run_id"),
+        F.col("doc_id").cast("string").alias("url"),
+        F.md5(F.concat_ws(" ", tokens)).alias("cluster_id"),
+    )
+    channels = {
+        "simhash": simhash_dup_pairs_bucketed(
+            docs, block_col="source", max_hamming=8
+        ),
+        "ngram": ngram_jaccard_pairs_prefix(
+            docs, block_col="source", threshold=0.97
+        ),
+    }
+    for run, pairs in channels.items():
+        edges = pairs.select(
+            F.col("id_a").cast("string").alias("src"),
+            F.col("id_b").cast("string").alias("dst"),
+        )
+        cc = connected_components(edges, vertices=verts)
+        labeled = cc.select(F.lit(run).alias("run_id"), "url", "cluster_id")
+        stacked = stacked.unionByName(labeled)
+    stacked = stacked.localCheckpoint(eager=True)  # channel walls end here
+    channels_sec = time.monotonic() - t0
+
+    t1 = time.monotonic()
+    cons = consensus_clusters(stacked)
+    sizes = cons.groupBy("cluster_id").count()
+    stats = sizes.agg(
+        F.count("*").alias("clusters"),
+        F.sum(F.when(F.col("count") > 1, 1).otherwise(0)).alias(
+            "multi_member_clusters"
+        ),
+        F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).alias(
+            "docs_in_multi"
+        ),
+        F.max("count").alias("max_cluster_size"),
+    ).collect()[0]
+    vote_cc_sec = time.monotonic() - t1
+    return {
+        "channels_cc_sec": round(channels_sec, 3),
+        "vote_cc_sec": round(vote_cc_sec, 3),
+        "clusters": stats["clusters"],
+        "multi_member_clusters": stats["multi_member_clusters"],
+        "docs_in_multi": stats["docs_in_multi"],
+        "max_cluster_size": stats["max_cluster_size"],
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--outdir", default=f"{REPO}/.bench_sf1")
@@ -119,6 +210,16 @@ def main() -> None:
     ap.add_argument("--vecs", type=int, default=20_000)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument(
+        "--consensus",
+        action="store_true",
+        help="also run the three-channel consensus probe (consensus_probe)",
+    )
+    ap.add_argument(
+        "--consensus-only",
+        action="store_true",
+        help="skip the headline queries; run only the consensus probe",
+    )
     args = ap.parse_args()
 
     from whoiswho_spark.session import get_spark
@@ -138,11 +239,31 @@ def main() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    for name in HEADLINE_SF1:
-        t0 = time.monotonic()
-        _materialize(qs[name](spark, args.outdir))
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"{name}: {timings[name]}s", file=sys.stderr)
+    if not args.consensus_only:
+        for name in HEADLINE_SF1:
+            t0 = time.monotonic()
+            _materialize(qs[name](spark, args.outdir))
+            timings[name] = round(time.monotonic() - t0, 3)
+            print(f"{name}: {timings[name]}s", file=sys.stderr)
+
+    consensus: dict | None = None
+    if args.consensus or args.consensus_only:
+        consensus = consensus_probe(spark, args.outdir)
+        print(f"consensus: {consensus}", file=sys.stderr)
+
+    if args.consensus_only:
+        result = {
+            "metric": "sf1_consensus_probe",
+            "unit": "sec",
+            "sf": args.outdir,
+            "docs": args.docs,
+            "vecs": args.vecs,
+            "cpus": args.cpus,
+            "consensus": consensus,
+        }
+        spark.stop()
+        print(json.dumps(result))
+        return
 
     pairs_scored, er_sec = _er_pipeline_bench(spark, args.outdir)
     timings["er_pipeline"] = round(er_sec, 3)
@@ -158,6 +279,8 @@ def main() -> None:
         "er_pairs_scored": pairs_scored,
         "er_pairs_per_sec": round(pairs_scored / er_sec, 1) if er_sec else 0.0,
     }
+    if consensus is not None:
+        result["consensus"] = consensus
     spark.stop()
     print(json.dumps(result))
 
