@@ -116,6 +116,36 @@ CJK_BATTERY = [
     "jing zhang", "Ernest Jordan", "Na Li", "m ćwiok",
 ]
 
+
+def _table_sweep_battery() -> list[str]:
+    """Deterministic names covering EVERY char in the vendored table:
+    sorted table chars chunked into two-char names (289 names for the
+    578-char table), so the minted goldens exercise the full vendored
+    inventory, not just the hand battery. The goldens file stores the
+    names themselves — tests never regenerate this."""
+    from whoiswho_spark.functions.pinyin import CHAR_TO_PINYIN
+
+    chars = sorted(CHAR_TO_PINYIN)
+    return ["".join(chars[i : i + 2]) for i in range(0, len(chars), 2)]
+
+
+def _table_sweep_match_battery() -> list[tuple[str, str]]:
+    """match_name CJK-branch pairs over the sweep: every 8th two-char
+    name gets a correctly-reversed pinyin target (should match via the
+    last+first concat rule) and a same-order target (should not, except
+    for palindromic readings — the reference decides)."""
+    from whoiswho_spark.functions.pinyin import lazy_pinyin
+
+    out = []
+    for name in _table_sweep_battery()[::8]:
+        syls = lazy_pinyin(name)
+        if len(syls) != 2 or not all(s.isascii() for s in syls):
+            continue
+        first, last = syls  # name = surname char + given char
+        out.append((name, f"{last}_{first}"))
+        out.append((name, f"{first}_{last}"))
+    return out
+
 # (name, first_last target) pairs for the regex-form match_name CJK
 # branch (whoiswho/character/match_name.py:36-44): CJK name vs pinyin
 # target — true when concat pinyin equals last+first.
@@ -139,10 +169,12 @@ def main() -> None:
     mind = load_pkg("refmind", REF_MIND_TOOL, ["const", "is_chinese"])
     mn = load_file("refmatch", REF_MATCH_NAME)
 
-    cleaning_tool = [[n, tool["is_chinese"].cleaning_name(n)] for n in CJK_BATTERY]
-    cleaning_mind = [[n, mind["is_chinese"].cleaning_name(n)] for n in CJK_BATTERY]
-    pred = [[n, bool(tool["is_chinese"].is_chinese_name(n))] for n in CJK_BATTERY]
-    match = [[a, t, bool(mn.match_name(a, t))] for a, t in MATCH_BATTERY]
+    battery = CJK_BATTERY + _table_sweep_battery()
+    match_battery = MATCH_BATTERY + _table_sweep_match_battery()
+    cleaning_tool = [[n, tool["is_chinese"].cleaning_name(n)] for n in battery]
+    cleaning_mind = [[n, mind["is_chinese"].cleaning_name(n)] for n in battery]
+    pred = [[n, bool(tool["is_chinese"].is_chinese_name(n))] for n in battery]
+    match = [[a, t, bool(mn.match_name(a, t))] for a, t in match_battery]
 
     out = {
         "cleaning_name_tool": cleaning_tool,
