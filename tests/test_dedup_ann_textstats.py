@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyspark.sql.functions as F
+import pytest
 
 from whoiswho_spark.operators.ann import brute_force_topk, lsh_bucketed_topk
 from whoiswho_spark.operators.dedup import (
@@ -407,9 +408,12 @@ def test_minhash_size_conditional_salting_equals_plain(spark):
     assert salted == plain and len(plain) >= 40 * 39 / 2
 
 
-def test_ngram_prefix_plan_matches_block_plan(spark):
+@pytest.mark.parametrize("asym", [False, True])
+def test_ngram_prefix_plan_matches_block_plan(spark, asym):
     """The prefix-filtered set-similarity join is an exact physical
-    rewrite: identical pairs + jaccards, incl. boundary-threshold sets."""
+    rewrite: identical pairs + jaccards, incl. boundary-threshold sets —
+    in BOTH prefix regimes (symmetric τ-prefix and PPJoin asymmetric
+    2τ/(1+τ) index prefix)."""
     from whoiswho_spark.operators.dedup import (
         ngram_jaccard_pairs,
         ngram_jaccard_pairs_prefix,
@@ -428,16 +432,20 @@ def test_ngram_prefix_plan_matches_block_plan(spark):
     a = {(r["id_a"], r["id_b"], r["jaccard"])
          for r in ngram_jaccard_pairs(df, block_col="source").collect()}
     b = {(r["id_a"], r["id_b"], r["jaccard"])
-         for r in ngram_jaccard_pairs_prefix(df, block_col="source").collect()}
+         for r in ngram_jaccard_pairs_prefix(
+             df, block_col="source", asymmetric=asym).collect()}
     assert a == b
     assert (4, 5, 1.0) in a and (1, 3, 0.5) in a
     assert all(x != 6 and y != 6 for x, y, _ in a)
 
 
-def test_ngram_prefix_plan_random_corpora_parity(spark):
+@pytest.mark.parametrize("asym", [False, True])
+def test_ngram_prefix_plan_random_corpora_parity(spark, asym):
     """5 random corpora × varied thresholds: the prefix-filtered join must
     equal the block join EXACTLY (pair sets + jaccards) — the no-false-
-    negative prefix bound holds under adversarial token distributions."""
+    negative prefix bound holds under adversarial token distributions,
+    in both prefix regimes (size-heterogeneous docs stress the
+    asymmetric plan's size orientation + tie-break)."""
     import random
 
     from whoiswho_spark.operators.dedup import (
@@ -458,7 +466,8 @@ def test_ngram_prefix_plan_random_corpora_parity(spark):
         a = {(r["id_a"], r["id_b"], r["jaccard"])
              for r in ngram_jaccard_pairs(df, "source", threshold=tau).collect()}
         b = {(r["id_a"], r["id_b"], r["jaccard"])
-             for r in ngram_jaccard_pairs_prefix(df, "source", threshold=tau).collect()}
+             for r in ngram_jaccard_pairs_prefix(
+                 df, "source", threshold=tau, asymmetric=asym).collect()}
         assert a == b, (trial, tau, a ^ b)
 
 
@@ -490,9 +499,11 @@ def test_ngram_prefix_boundary_threshold_parity(spark):
         df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
         a = {(r["id_a"], r["id_b"], r["jaccard"])
              for r in ngram_jaccard_pairs(df, "source", threshold=tau).collect()}
-        b = {(r["id_a"], r["id_b"], r["jaccard"])
-             for r in ngram_jaccard_pairs_prefix(df, "source", threshold=tau).collect()}
-        assert a == b, (tau, a ^ b)
+        for asym in (False, True):
+            b = {(r["id_a"], r["id_b"], r["jaccard"])
+                 for r in ngram_jaccard_pairs_prefix(
+                     df, "source", threshold=tau, asymmetric=asym).collect()}
+            assert a == b, (tau, asym, a ^ b)
         assert len(a) > 0, tau  # the boundary families must actually pair
 
 

@@ -372,6 +372,7 @@ def ngram_jaccard_pairs_prefix(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    asymmetric: bool = True,
 ) -> DataFrame:
     """EXACT set-similarity join with PPJoin-style prefix filtering — the
     100 TB plan for ngram_jaccard_pairs (result-identical, pytest + same
@@ -405,13 +406,21 @@ def ngram_jaccard_pairs_prefix(
     (carrying both prefix arrays through the meet join exploded the
     shuffle width: 12 s vs the 1.2 s narrow distinct it was meant to
     remove — the minhash trick works there because band buckets are a
-    FIXED-WIDTH row, not variable-length arrays). A third — PPJoin's
-    ASYMMETRIC prefixes (2τ/(1+τ) index prefix on the size-ordered
-    smaller side, ~32% fewer meet rows at τ=0.5) — measured result-
-    identical but NOT faster (2.82 s vs 2.78 s): the second explode
-    pass and the wider size-orientation predicate eat the meet savings
-    on a size-homogeneous corpus; revisit only if doc sizes become
-    heavy-tailed.
+    FIXED-WIDTH row, not variable-length arrays).
+
+    ``asymmetric=True`` (the default since round 5) uses PPJoin's
+    ASYMMETRIC prefixes: each pair is oriented so the smaller doc is the
+    index side, whose prefix shrinks to the 2τ/(1+τ) bound (~32% fewer
+    meet rows at τ=0.5) while the probe side keeps the τ-prefix;
+    result-identical by the overlap bound in the inline comment,
+    pytest-parity-gated both ways. History: the round-4 measurement on
+    top of the string-verify plan showed no win (2.82 s vs 2.78 s at
+    sf0.1) and it was reverted; re-measured at round-5 HEAD on the
+    int-rank plan it wins at BOTH scales — interleaved same-JVM
+    best-of-N: sf0.1 2.26 s vs 2.37 s, sf1 (~50k docs, ~500M meets)
+    78.6 s vs 85.6 s — because the narrow-distinct rewrite moved the
+    bottleneck back to the meet join that the shorter index prefix
+    prunes.
     """
     t = df.select(
         F.col(block_col).alias("block"),
@@ -442,38 +451,83 @@ def ngram_jaccard_pairs_prefix(
     # plan for non-default thresholds. Rounding to 9 decimals first
     # restores the exact value (token counts are far below 10^9, so the
     # round can never cross a true non-integer boundary).
-    prefix_len = F.greatest(
-        F.lit(1),
-        (
-            F.col("sz")
-            - F.ceil(F.round(F.lit(threshold) * F.col("sz"), 9))
-            + 1
-        ).cast("int"),
-    )
-    prefixes = ti.select(
-        "block",
-        F.col(id_col),
-        "sz",
-        F.explode(F.slice("rks", 1, prefix_len)).alias("tok"),
-    )
-    a = prefixes.select(
-        "block", "tok", F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")
-    )
-    b = prefixes.select(
-        "block", "tok", F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")
-    )
-    cands = (
-        a.join(b, ["block", "tok"])
-        .where(
-            (F.col("id_a") < F.col("id_b"))
-            & (
-                F.least("sz_a", "sz_b")
-                >= F.lit(float(threshold)) * F.greatest("sz_a", "sz_b")
-            )
+    def _plen(frac: float):
+        # ⌈frac·sz⌉ with the 9-decimal ULP guard documented above
+        return F.greatest(
+            F.lit(1),
+            (
+                F.col("sz")
+                - F.ceil(F.round(F.lit(frac) * F.col("sz"), 9))
+                + 1
+            ).cast("int"),
         )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+
+    if not asymmetric:
+        prefixes = ti.select(
+            "block",
+            F.col(id_col),
+            "sz",
+            F.explode(F.slice("rks", 1, _plen(threshold))).alias("tok"),
+        )
+        a = prefixes.select(
+            "block", "tok", F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")
+        )
+        b = prefixes.select(
+            "block", "tok", F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")
+        )
+        cands = (
+            a.join(b, ["block", "tok"])
+            .where(
+                (F.col("id_a") < F.col("id_b"))
+                & (
+                    F.least("sz_a", "sz_b")
+                    >= F.lit(float(threshold)) * F.greatest("sz_a", "sz_b")
+                )
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        # PPJoin asymmetric prefixes: orient each pair so the SMALLER
+        # doc is the index side a (ties by id). J ≥ τ with |a| ≤ |b|
+        # gives overlap o ≥ τ(|a|+|b|)/(1+τ) ≥ (2τ/(1+τ))·|a| and (via
+        # the size filter |a| ≥ τ|b|) o ≥ τ·|b|, so the smallest common
+        # token sits inside a's SHORTER 2τ/(1+τ)-prefix and b's τ-prefix
+        # — the a-side explode shrinks (~32% fewer meet rows at τ=0.5)
+        # at the cost of a second explode pass over ti.
+        idx_frac = 2.0 * threshold / (1.0 + threshold)
+        a = ti.select(
+            "block",
+            F.col(id_col).alias("id_a"),
+            F.col("sz").alias("sz_a"),
+            F.explode(F.slice("rks", 1, _plen(idx_frac))).alias("tok"),
+        )
+        b = ti.select(
+            "block",
+            F.col(id_col).alias("id_b"),
+            F.col("sz").alias("sz_b"),
+            F.explode(F.slice("rks", 1, _plen(threshold))).alias("tok"),
+        )
+        cands = (
+            a.join(b, ["block", "tok"])
+            .where(
+                (
+                    (F.col("sz_a") < F.col("sz_b"))
+                    | (
+                        (F.col("sz_a") == F.col("sz_b"))
+                        & (F.col("id_a") < F.col("id_b"))
+                    )
+                )
+                & (F.col("sz_a") >= F.lit(float(threshold)) * F.col("sz_b"))
+            )
+            # normalize to id order so output/verify match the symmetric
+            # plan (and the oracle) row for row
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .distinct()
+        )
     inter = F.size(F.array_intersect("rks_a", "rks_b"))
     union = F.size("rks_a") + F.size("rks_b") - inter
     return (
