@@ -920,6 +920,44 @@ def _q_consensus_clusters(spark, sf):
     return consensus_clusters(stacked)
 
 
+def _q_propagation_smoothed(spark, sf):
+    """Graph-propagation embedding smoothing (§2.8, the torch-free BOND
+    GAE analog — operators/propagation.py): 2 iterations of weighted-
+    neighbor-mean smoothing + L2 renormalization over a deterministic
+    chain graph (edges (v, v+1) within consecutive groups of 4, weight
+    1 + v%3), emitted as exploded (vec_id, dim, val) rows. The oracle
+    replays both iterations in chained DuckDB CTEs — per-node neighbor
+    sums have ≤2 terms (order-exact in floats); the 64-term L2 norms
+    round to 6 dp like every embedding oracle here."""
+    from whoiswho_spark.operators.propagation import propagate_embeddings
+
+    emb = _t(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("url"), "embedding"
+    )
+    edges = (
+        emb.alias("a")
+        .join(
+            emb.select(F.col("url").alias("b_url")),
+            F.col("b_url") == F.col("a.url") + 1,
+        )
+        .where(F.col("a.url") % 4 < 3)
+        .select(
+            F.col("a.url").alias("url_a"),
+            F.col("b_url").alias("url_b"),
+            (F.lit(1.0) + (F.col("a.url") % 3).cast("double")).alias("score"),
+        )
+    )
+    sm = propagate_embeddings(emb, edges, iterations=2, beta=0.5)
+    return sm.select(
+        F.col("url").alias("vec_id"),
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select(
+        "vec_id",
+        (F.col("dim") + 1).cast("int").alias("dim"),
+        F.round("val", 6).alias("val"),
+    )
+
+
 def _q_gbdt_scores(spark, sf):
     """GBDT ensemble scorer (§2.9): numpy histogram-boosted trees fit on
     a bounded deterministic sample, INFERENCE COMPILED TO A CATALYST
@@ -1069,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ego_graph_features": _q_ego_graph_features,
         "lsh_neardup": _q_lsh_neardup,
         "consensus_clusters": _q_consensus_clusters,
+        "propagation_smoothed": _q_propagation_smoothed,
     }
 
 
@@ -1885,6 +1924,66 @@ def oracle_sql() -> dict[str, str]:
                 select src as url, min(dst) as cluster_id
                 from reach group by src)
             select url, cluster_id from part
+        """,
+        # propagation_smoothed: both iterations replayed in chained
+        # CTEs. Per-node neighbor sums have ≤2 terms (chain graph), so
+        # float addition order cannot differ between engines; the only
+        # order-sensitive reduction is the 64-term L2 norm, absorbed by
+        # the round-6 like every embedding oracle here. Nodes without
+        # neighbors are NOT renormalized (has_nb guard), matching the
+        # operator's left-join passthrough exactly.
+        "propagation_smoothed": """
+            with e0 as (
+                select vec_id, t.d, embedding[t.d]::DOUBLE as v
+                from embeddings,
+                     unnest(generate_series(1, len(embedding))) as t(d)),
+            nrm0 as (select vec_id, sqrt(sum(v * v)) as nrm
+                     from e0 group by vec_id),
+            x0 as (select e0.vec_id, d,
+                          case when nrm = 0 then v else v / nrm end as v
+                   from e0 join nrm0 using (vec_id)),
+            ed as (select a.vec_id as src, a.vec_id + 1 as dst,
+                          (1.0 + (a.vec_id % 3))::DOUBLE as w
+                   from embeddings a
+                   join embeddings b on b.vec_id = a.vec_id + 1
+                   where a.vec_id % 4 < 3),
+            sym as (select src as id, dst as nb, w from ed
+                    union all
+                    select dst as id, src as nb, w from ed),
+            n1 as (select s.id as vec_id, x.d,
+                          sum(s.w * x.v) / sum(s.w) as nv
+                   from sym s join x0 x on x.vec_id = s.nb
+                   group by s.id, x.d),
+            t1 as (select x0.vec_id, x0.d,
+                          case when n1.nv is null then x0.v
+                               else 0.5 * x0.v + 0.5 * n1.nv end as v,
+                          n1.nv is not null as has_nb
+                   from x0 left join n1 using (vec_id, d)),
+            r1 as (select vec_id, sqrt(sum(v * v)) as nrm
+                   from t1 group by vec_id),
+            x1 as (select t1.vec_id, d,
+                          case when not has_nb then v
+                               when nrm = 0 then v
+                               else v / nrm end as v
+                   from t1 join r1 using (vec_id)),
+            n2 as (select s.id as vec_id, x.d,
+                          sum(s.w * x.v) / sum(s.w) as nv
+                   from sym s join x1 x on x.vec_id = s.nb
+                   group by s.id, x.d),
+            t2 as (select x1.vec_id, x1.d,
+                          case when n2.nv is null then x1.v
+                               else 0.5 * x1.v + 0.5 * n2.nv end as v,
+                          n2.nv is not null as has_nb
+                   from x1 left join n2 using (vec_id, d)),
+            r2 as (select vec_id, sqrt(sum(v * v)) as nrm
+                   from t2 group by vec_id),
+            x2 as (select t2.vec_id, d,
+                          case when not has_nb then v
+                               when nrm = 0 then v
+                               else v / nrm end as v
+                   from t2 join r2 using (vec_id))
+            select vec_id, cast(d as int) as dim, round(v, 6) as val
+            from x2
         """,
         "ego_graph_features": """
             with m as (
