@@ -437,3 +437,72 @@ def test_progressive_fuzzed_bytes_raise_only_valueerror():
             decode_jpeg(bytes(m))
         except ValueError:
             pass
+
+# --- restart intervals (DRI / RSTn) -------------------------------------------
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("ri", [1, 2, 5])
+def test_restart_interval_baseline_bitstream_exact(sub, ri):
+    """DRI/RSTn streams — standard output of hardware encoders and
+    libjpeg's error-resilience mode — through the exact gate: byte
+    alignment at each boundary, DC predictor reset on BOTH sides, and
+    the modulo-8 marker sequence must all agree for byte equality.
+    ri=5 with fewer MCUs also checks a DRI with zero emitted markers."""
+    rs = np.random.RandomState(101 + ri + len(sub))
+    arr = rs.randint(0, 256, size=(24, 18, 3), dtype=np.uint8)
+    data = encode_jpeg(arr, subsampling=sub, restart_interval=ri)
+    if ri <= 2:
+        assert b"\xff\xd0" in data  # at least one boundary actually fired
+    got = decode_jpeg(data)
+    assert np.array_equal(got, _expected(arr, subsampling=sub))
+    assert np.array_equal(
+        got, decode_jpeg(encode_jpeg(arr, subsampling=sub))
+    )
+
+
+def test_restart_interval_gray_and_many_markers():
+    """A gray image with ri=1 rolls the marker index through the full
+    D0..D7 cycle (> 8 boundaries) — the modulo-8 wraparound path."""
+    rs = np.random.RandomState(113)
+    arr = rs.randint(0, 256, size=(40, 40), dtype=np.uint8)  # 25 MCUs
+    data = encode_jpeg(arr, restart_interval=1)
+    assert b"\xff\xd0" in data and b"\xff\xd7" in data  # full cycle
+    assert np.array_equal(decode_jpeg(data), _expected(arr))
+
+
+@pytest.mark.parametrize("ri,al", [(1, 1), (3, 2)])
+def test_restart_interval_progressive_exact(ri, al):
+    """Progressive + restarts: every scan kind restarts — interleaved DC
+    first (predictor reset), DC refinement (resync only), AC first
+    (EOB runs cannot cross), AC refinement (pending correction bits
+    flushed) — and the result still byte-matches the math twin."""
+    from whoiswho_spark.operators.jpeg_codec import encode_jpeg_progressive
+
+    rs = np.random.RandomState(127 + ri)
+    arr = rs.randint(0, 256, size=(24, 18, 3), dtype=np.uint8)
+    data = encode_jpeg_progressive(
+        arr, subsampling="420", al=al, restart_interval=ri
+    )
+    assert b"\xff\xdd" in data
+    assert np.array_equal(decode_jpeg(data), _expected(arr, subsampling="420"))
+    flat = np.full((32, 24, 3), 190, dtype=np.uint8)  # EOB-run extreme
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(flat, restart_interval=ri)),
+        _expected(flat),
+    )
+
+
+def test_restart_marker_out_of_sync_raises():
+    """A wrong RSTn index means lost sync (T.81 E.2.4) — must reject,
+    not resynchronize into garbage pixels."""
+    rs = np.random.RandomState(131)
+    arr = rs.randint(0, 256, size=(24, 24), dtype=np.uint8)
+    data = encode_jpeg(arr, restart_interval=2)
+    sos = data.index(b"\xff\xda")
+    first_rst = data.index(b"\xff\xd0", sos)
+    broken = data[:first_rst + 1] + b"\xd4" + data[first_rst + 2:]
+    with pytest.raises(ValueError):
+        decode_jpeg(broken)
+    with pytest.raises(ValueError, match="restart_interval"):
+        encode_jpeg(arr, restart_interval=-1)

@@ -5,10 +5,12 @@ progressive DCT (SOF2 — spectral selection + successive approximation,
 both DC and AC refinement passes, EOB runs), 8-bit, grayscale or YCbCr
 with sampling factors 1-2 — 4:4:4 AND the real-world subsampled shapes
 4:2:0 / 4:2:2 / 4:4:0 (chroma decimated by block mean on encode,
-upsampled by sample replication on decode) — Huffman entropy coding, no
-restart markers. Larger sampling factors, 12-bit, and arithmetic-coded
-streams (SOF9-SOF11) are refused with ValueError rather than
-approximately decoded — the png_codec/gif_codec honesty rule.
+upsampled by sample replication on decode) — Huffman entropy coding,
+with DRI/RSTn restart intervals (T.81 E.1.4/E.2.4: byte-aligned RSTn
+markers every n restart units, DC predictors and EOB runs reset, marker
+index verified modulo 8). Larger sampling factors, 12-bit, and
+arithmetic-coded streams (SOF9-SOF11) are refused with ValueError rather
+than approximately decoded — the png_codec/gif_codec honesty rule.
 
 Progressive decoding keeps one quantized-coefficient store per component
 (zigzag domain) that successive scans accumulate into: DC first scans
@@ -202,6 +204,12 @@ class _BitWriter:
             self.acc = self.n = 0
         return bytes(self.out)
 
+    def restart_marker(self, m: int) -> None:
+        """Byte-align (1-padded, stuffed like flush) and emit RSTm —
+        the encoder side of a restart-interval boundary (T.81 E.1.4)."""
+        self.flush()  # out accumulates; acc/n reset for the next interval
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 class _BitReader:
     def __init__(self, data: bytes) -> None:
@@ -233,6 +241,26 @@ class _BitReader:
         for _ in range(length):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self, m: int) -> None:
+        """Consume the RSTm marker at a restart boundary (T.81 E.2.4):
+        discard any partial-byte bits, skip pad/stuffed bytes up to the
+        next marker, and verify its modulo-8 index — a wrong index means
+        lost sync, which the spec treats as a corrupt stream."""
+        self.acc = 0
+        self.n = 0
+        d = self.data
+        # the encoder's byte-align padding may leave an unread pad byte
+        # (possibly a stuffed FF 00) before the marker — skip to it
+        while self.pos + 1 < len(d) and not (
+            d[self.pos] == 0xFF and d[self.pos + 1] != 0x00
+        ):
+            self.pos += 1
+        while self.pos + 1 < len(d) and d[self.pos + 1] == 0xFF:
+            self.pos += 1  # spec-legal FF fill bytes before the marker
+        if self.pos + 2 > len(d) or d[self.pos + 1] != 0xD0 + (m & 7):
+            raise ValueError("jpeg: missing/out-of-order restart marker")
+        self.pos += 2
 
 
 def _category(v: int) -> int:
@@ -319,6 +347,7 @@ def encode_jpeg(
     arr: np.ndarray,
     scan_order: tuple | None = None,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline JPEG.
 
@@ -327,11 +356,15 @@ def encode_jpeg(
     ``scan_order`` permutes the SOS component declaration AND the
     interleaved entropy emission in lockstep (spec-legal; the scan
     declaration IS the interleave order). Default natural (Y, Cb, Cr);
-    a permuted order exercises the decoder's scan-vs-frame reordering."""
+    a permuted order exercises the decoder's scan-vs-frame reordering.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker +
+    DC-predictor reset every that many MCUs (T.81 E.1.4)."""
     if arr.dtype != np.uint8:
         raise ValueError("encode_jpeg: 8-bit arrays only")
     if subsampling not in SUBSAMPLING:
         raise ValueError(f"encode_jpeg: unknown subsampling {subsampling}")
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError("encode_jpeg: restart_interval out of range")
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     planes, quants, hv, hmax, vmax = component_planes(arr, subsampling)
@@ -350,8 +383,14 @@ def encode_jpeg(
     mcu_by = coefs[0].shape[0] // hv[0][1]
     mcu_bx = coefs[0].shape[1] // hv[0][0]
     prev_dc = [0] * len(planes)
+    rst_m = 0
     for my in range(mcu_by):
         for mx in range(mcu_bx):
+            mcu = my * mcu_bx + mx
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.restart_marker(rst_m)
+                rst_m = (rst_m + 1) % 8
+                prev_dc = [0] * len(planes)
             for ci in order:
                 fh, fv = hv[ci]
                 for r in range(fv):
@@ -386,6 +425,8 @@ def encode_jpeg(
         (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
     )[: 2 * ncomp if not gray else 2]:
         out += seg(0xFFC4, bytes([(cls << 4) | tid] + bits + vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in order:  # SOS lists components in the interleave order
         tid = 0 if ci == 0 else 1
@@ -466,6 +507,7 @@ def encode_jpeg_progressive(
     subsampling: str = "444",
     bands: tuple = ((1, 5), (6, 63)),
     al: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 → progressive (SOF2) JPEG.
 
@@ -482,6 +524,12 @@ def encode_jpeg_progressive(
     progressive-vs-baseline decode equality is a free second gate. AC
     scans use purpose-built uniform Huffman tables (incl. EOBn symbols,
     redefined between first and refinement scans via mid-stream DHT).
+
+    ``restart_interval`` > 0 emits a DRI segment and restart boundaries
+    in EVERY scan: each interleaved scan restarts every that many MCUs,
+    each non-interleaved AC scan every that many blocks (the T.81
+    restart unit per scan kind). EOB runs and pending correction bits
+    are flushed before each marker — they cannot cross a restart.
     """
     if arr.dtype != np.uint8:
         raise ValueError("encode_jpeg_progressive: 8-bit arrays only")
@@ -489,6 +537,8 @@ def encode_jpeg_progressive(
         raise ValueError(f"encode_jpeg_progressive: unknown subsampling {subsampling}")
     if al < 0 or al > 10:
         raise ValueError("encode_jpeg_progressive: al out of range")
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError("encode_jpeg_progressive: restart_interval out of range")
     lo, hi = zip(*bands)
     if list(lo) + [64] != [1] + [h + 1 for h in hi]:
         raise ValueError("encode_jpeg_progressive: bands must tile 1..63")
@@ -523,6 +573,9 @@ def encode_jpeg_progressive(
     out += seg(0xFFC4, bytes([0x00] + DC_LUMA_BITS + DC_LUMA_VALS))
     if not gray:
         out += seg(0xFFC4, bytes([0x01] + DC_CHROMA_BITS + DC_CHROMA_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    ri = restart_interval
 
     def sos_header(comp_ids: list[tuple[int, int, int]], ss: int, se: int,
                    ah: int, al_: int) -> bytes:
@@ -538,11 +591,12 @@ def encode_jpeg_progressive(
     def interleaved_walk():
         for my in range(mcu_by):
             for mx in range(mcu_bx):
+                mcu = my * mcu_bx + mx
                 for ci in range(ncomp):
                     fh, fv = hv[ci]
                     for r in range(fv):
                         for c in range(fh):
-                            yield ci, my * fv + r, mx * fh + c
+                            yield mcu, ci, my * fv + r, mx * fh + c
 
     def comp_blocks(ci: int):
         """Non-interleaved grid: ceil(comp_dim/8), NOT MCU-padded."""
@@ -560,7 +614,13 @@ def encode_jpeg_progressive(
     )
     bw = _BitWriter()
     prev = [0] * ncomp
-    for ci, by, bx in interleaved_walk():
+    next_rst, rst_m = (ri, 0) if ri else (-1, 0)
+    for mcu, ci, by, bx in interleaved_walk():
+        if mcu == next_rst:
+            bw.restart_marker(rst_m)
+            rst_m = (rst_m + 1) % 8
+            prev = [0] * ncomp
+            next_rst += ri
         val = int(zz[ci][by, bx, 0]) >> al
         diff = val - prev[ci]
         prev[ci] = val
@@ -589,7 +649,13 @@ def encode_jpeg_progressive(
                         bw.write(eobrun - (1 << n), n)
                     eobrun = 0
 
-            for by, bx in comp_blocks(ci):
+            next_rst, rst_m = (ri, 0) if ri else (-1, 0)
+            for blk, (by, bx) in enumerate(comp_blocks(ci)):
+                if blk == next_rst:
+                    emit_eobrun()  # EOB runs cannot cross a restart
+                    bw.restart_marker(rst_m)
+                    rst_m = (rst_m + 1) % 8
+                    next_rst += ri
                 vals = [_shift_ac(int(zz[ci][by, bx, k]), al) for k in range(ss, se + 1)]
                 if not any(vals):
                     eobrun += 1
@@ -624,7 +690,12 @@ def encode_jpeg_progressive(
             [(ci + 1, 0, 0) for ci in range(ncomp)], 0, 0, a + 1, a
         )
         bw = _BitWriter()
-        for ci, by, bx in interleaved_walk():
+        next_rst, rst_m = (ri, 0) if ri else (-1, 0)
+        for mcu, ci, by, bx in interleaved_walk():
+            if mcu == next_rst:
+                bw.restart_marker(rst_m)  # resync only: raw bits, no state
+                rst_m = (rst_m + 1) % 8
+                next_rst += ri
             # DC point transform is the ARITHMETIC shift: the refinement
             # bit is the two's-complement bit, not the magnitude bit
             bw.write((int(zz[ci][by, bx, 0]) >> a) & 1, 1)
@@ -653,7 +724,13 @@ def encode_jpeg_progressive(
                         bw.write(b, 1)
                     pending = []
 
-                for by, bx in comp_blocks(ci):
+                next_rst, rst_m = (ri, 0) if ri else (-1, 0)
+                for blk, (by, bx) in enumerate(comp_blocks(ci)):
+                    if blk == next_rst:
+                        emit_eobrun_r()  # flush EOB run + pending bits
+                        bw.restart_marker(rst_m)
+                        rst_m = (rst_m + 1) % 8
+                        next_rst += ri
                     temps = [abs(int(zz[ci][by, bx, k])) >> a for k in range(ss, se + 1)]
                     signs = [int(zz[ci][by, bx, k]) > 0 for k in range(ss, se + 1)]
                     eob = -1  # index (in band) of last newly-significant coef
@@ -724,9 +801,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline (SOF0) or progressive (SOF2) JPEG bytes → (h, w, ch)
     uint8 (ch = 1 or 3, RGB). Sampling factors 1 and 2 are supported
     (4:4:4, 4:2:2, 4:2:0, 4:4:0; chroma upsampled by sample
-    replication). Raises ValueError for other SOF types (incl.
-    arithmetic-coded SOF9-SOF11), larger sampling factors, 12-bit, or
-    restart-interval streams."""
+    replication), as are DRI/RSTn restart intervals (predictor + EOB-run
+    reset, marker index checked). Raises ValueError for other SOF types
+    (incl. arithmetic-coded SOF9-SOF11), larger sampling factors,
+    12-bit, or out-of-sync restart markers."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: not a JPEG")
     pos = 2
@@ -738,6 +816,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     coef: list[np.ndarray] | None = None  # per-comp (by, bx, 64) zigzag
     geom = None
     scans_seen = 0
+    restart_interval = 0  # MCUs between RSTn markers (0 = disabled)
 
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
@@ -813,7 +892,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC8):
             raise ValueError("jpeg: only baseline SOF0 / progressive SOF2 supported")
         elif marker == 0xDD:
-            raise ValueError("jpeg: restart intervals unsupported")
+            if len(body) < 2:
+                raise ValueError("jpeg: truncated DRI segment")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             if frame is None or coef is None:
                 raise ValueError("jpeg: SOS before SOF")
@@ -834,7 +915,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             br = _BitReader(data[entropy_start:end])
             _decode_scan(
                 br, coef, comps, order, ss, se, ah, al, progressive,
-                huff_dc, huff_ac, mcu_by, mcu_bx, nb,
+                huff_dc, huff_ac, mcu_by, mcu_bx, nb, restart_interval,
             )
             scans_seen += 1
             pos = end
@@ -888,27 +969,34 @@ def _read_symbol(br: _BitReader, table: dict) -> int:
 
 def _decode_scan(
     br, coef, comps, order, ss, se, ah, al, progressive,
-    huff_dc, huff_ac, mcu_by, mcu_bx, nb,
+    huff_dc, huff_ac, mcu_by, mcu_bx, nb, ri=0,
 ) -> None:
     """Decode one scan's entropy data into the coefficient stores.
     ``order`` = [(frame component index, dc table id, ac table id)] in
-    SCAN order (the interleave order for multi-component scans)."""
+    SCAN order (the interleave order for multi-component scans).
+    ``ri`` = restart interval in MCUs (0 = none); at each boundary the
+    reader byte-aligns over the RSTn marker and DC predictors / EOB
+    runs reset (T.81 E.2.4) — in a non-interleaved scan the restart
+    unit is one block."""
 
+    # walks yield (mcu_no, ...) so restart boundaries are visible; the
+    # restart triggers on the FIRST block of each boundary MCU
     def interleaved_walk():
         for my in range(mcu_by):
             for mx in range(mcu_bx):
+                mcu = my * mcu_bx + mx
                 for ci, dc_t, ac_t in order:
                     _cid, _tq, fh, fv = comps[ci]
                     for r in range(fv):
                         for c in range(fh):
-                            yield ci, my * fv + r, mx * fh + c, dc_t, ac_t
+                            yield mcu, ci, my * fv + r, mx * fh + c, dc_t, ac_t
 
     def single_walk():
         ci, dc_t, ac_t = order[0]
         nby, nbx = nb[ci]
         for by in range(nby):
             for bx in range(nbx):
-                yield ci, by, bx, dc_t, ac_t
+                yield by * nbx + bx, ci, by, bx, dc_t, ac_t
 
     walk = interleaved_walk if len(order) > 1 else single_walk
 
@@ -916,7 +1004,13 @@ def _decode_scan(
         if (ss, se, ah, al) != (0, 63, 0, 0):
             raise ValueError("jpeg: baseline scan must cover 0..63 at Ah=Al=0")
         prev = [0] * len(comps)
-        for ci, by, bx, dc_t, ac_t in walk():
+        next_rst, rst_m = (ri, 0) if ri else (-1, 0)
+        for mcu, ci, by, bx, dc_t, ac_t in walk():
+            if mcu == next_rst:
+                br.restart(rst_m)
+                rst_m = (rst_m + 1) % 8
+                prev = [0] * len(comps)
+                next_rst += ri
             zz = coef[ci][by, bx]
             s = _read_symbol(br, huff_dc[dc_t])
             diff = _extend(br.bits(s), s) if s else 0
@@ -943,14 +1037,25 @@ def _decode_scan(
             raise ValueError("jpeg: progressive DC scan must have Se=0")
         if ah == 0:  # first pass: predicted diffs at approximation Al
             prev = [0] * len(comps)
-            for ci, by, bx, dc_t, _ac_t in walk():
+            next_rst, rst_m = (ri, 0) if ri else (-1, 0)
+            for mcu, ci, by, bx, dc_t, _ac_t in walk():
+                if mcu == next_rst:
+                    br.restart(rst_m)
+                    rst_m = (rst_m + 1) % 8
+                    prev = [0] * len(comps)
+                    next_rst += ri
                 s = _read_symbol(br, huff_dc[dc_t])
                 diff = _extend(br.bits(s), s) if s else 0
                 prev[ci] += diff
                 coef[ci][by, bx, 0] = prev[ci] << al
         else:  # refinement: one raw bit per block, ORed in at Al
             bit = 1 << al
-            for ci, by, bx, _dc_t, _ac_t in walk():
+            next_rst, rst_m = (ri, 0) if ri else (-1, 0)
+            for mcu, ci, by, bx, _dc_t, _ac_t in walk():
+                if mcu == next_rst:
+                    br.restart(rst_m)  # resync only: no DC predictors here
+                    rst_m = (rst_m + 1) % 8
+                    next_rst += ri
                 if br.bit():
                     coef[ci][by, bx, 0] |= bit
         return
@@ -963,9 +1068,15 @@ def _decode_scan(
     ci, _dc_t, ac_t = order[0]
     nby, nbx = nb[ci]
     eobrun = 0
+    next_rst, rst_m = (ri, 0) if ri else (-1, 0)
     if ah == 0:  # AC first pass over the band
         for by in range(nby):
             for bx in range(nbx):
+                if by * nbx + bx == next_rst:
+                    br.restart(rst_m)
+                    rst_m = (rst_m + 1) % 8
+                    eobrun = 0  # EOB runs cannot cross a restart
+                    next_rst += ri
                 if eobrun:
                     eobrun -= 1
                     continue
@@ -998,6 +1109,11 @@ def _decode_scan(
 
     for by in range(nby):
         for bx in range(nbx):
+            if by * nbx + bx == next_rst:
+                br.restart(rst_m)
+                rst_m = (rst_m + 1) % 8
+                eobrun = 0  # EOB runs cannot cross a restart
+                next_rst += ri
             zz = coef[ci][by, bx]
             k = ss
             if eobrun == 0:
