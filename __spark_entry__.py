@@ -958,6 +958,52 @@ def _q_propagation_smoothed(spark, sf):
     )
 
 
+def _q_gopher_repetition(spark, sf):
+    """Gopher repetition filters (training-data pipeline mandate —
+    functions/repetition.py): per document, the most-frequent-n-gram
+    character fraction (n = 2, 3) and the exact duplicated-n-gram
+    character COVERAGE (interval-union sweep, n = 2, 3). The published
+    rule uses n = 2..4 / 5..10; this corpus's 31-word vocabulary makes
+    n >= 5 duplicates vanishingly rare (0 docs at sf0.01), so the
+    contract query exercises the same operators at the n where the
+    output is non-degenerate (349 / 27 docs with within-doc duplicate
+    2- / 3-grams); the n >= 5 semantics are pytest-covered on crafted
+    fixtures."""
+    from whoiswho_spark.functions.repetition import (
+        dup_ngram_char_frac,
+        top_ngram_frac,
+    )
+
+    docs = _t(spark, sf, "documents")
+    t2 = top_ngram_frac(docs, 2).select(
+        "doc_id", F.col("frac").alias("top2gram_frac")
+    )
+    t3 = top_ngram_frac(docs, 3).select(
+        "doc_id", F.col("frac").alias("top3gram_frac")
+    )
+    d2 = dup_ngram_char_frac(docs, 2).select(
+        "doc_id", F.col("frac").alias("dup2gram_frac")
+    )
+    d3 = dup_ngram_char_frac(docs, 3).select(
+        "doc_id", F.col("frac").alias("dup3gram_frac")
+    )
+    return t2.join(t3, "doc_id").join(d2, "doc_id").join(d3, "doc_id")
+
+
+def _q_crossdoc_span_dedup(spark, sf):
+    """Cross-document duplicate-span coverage (exact-substring dedup
+    analog at 8-gram granularity — operators/span_dedup.py): per
+    document, the fraction of token positions covered by 8-grams that
+    occur in >= 2 distinct documents, plus the >= 0.5 removal flag.
+    Only the 60-bit gram hash is shuffled; coverage is an interval-
+    union sweep per doc. Non-degenerate here: the corpus's 5%% 'dup'
+    documents + their sources (47 docs at sf0.01) flag at 1.0."""
+    from whoiswho_spark.operators.span_dedup import crossdoc_duplicate_spans
+
+    docs = _t(spark, sf, "documents")
+    return crossdoc_duplicate_spans(docs, n=8, min_docs=2, flag_threshold=0.5)
+
+
 def _q_gbdt_scores(spark, sf):
     """GBDT ensemble scorer (§2.9): numpy histogram-boosted trees fit on
     a bounded deterministic sample, INFERENCE COMPILED TO A CATALYST
@@ -1108,6 +1154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_neardup": _q_lsh_neardup,
         "consensus_clusters": _q_consensus_clusters,
         "propagation_smoothed": _q_propagation_smoothed,
+        "gopher_repetition": _q_gopher_repetition,
+        "crossdoc_span_dedup": _q_crossdoc_span_dedup,
     }
 
 
@@ -1984,6 +2032,131 @@ def oracle_sql() -> dict[str, str]:
                    from t2 join r2 using (vec_id))
             select vec_id, cast(d as int) as dim, round(v, 6) as val
             from x2
+        """,
+        # gopher_repetition: top-n-gram char fraction (mode n-gram,
+        # occurrence-weighted — the Dolma/NeMo convention) + exact
+        # duplicated-n-gram char COVERAGE (interval-union sweep over
+        # 0-based char offsets of the single-space-joined token
+        # stream). The sweep replays Spark's running-max window verbatim
+        # (order by start, end; contrib = e - max(s-1, prev_max)).
+        "gopher_repetition": f"""
+            with base as (
+                select doc_id, {toks} as tk,
+                       case when len({toks}) > 0
+                            then len(array_to_string({toks}, ' '))
+                            else 0 end as norm_len
+                from documents),
+            g2 as (select doc_id, array_to_string(list_slice(tk, i, i + 1), ' ') as gram
+                   from base, unnest(range(1, len(tk))) as u(i)
+                   where len(tk) >= 2),
+            c2 as (select doc_id, gram, count(*) as cnt from g2 group by 1, 2),
+            top2 as (select * from (
+                        select doc_id, gram, cnt,
+                               row_number() over (partition by doc_id
+                                   order by cnt desc, gram asc) as rk
+                        from c2) where rk = 1),
+            g3 as (select doc_id, array_to_string(list_slice(tk, i, i + 2), ' ') as gram
+                   from base, unnest(range(1, len(tk) - 1)) as u(i)
+                   where len(tk) >= 3),
+            c3 as (select doc_id, gram, count(*) as cnt from g3 group by 1, 2),
+            top3 as (select * from (
+                        select doc_id, gram, cnt,
+                               row_number() over (partition by doc_id
+                                   order by cnt desc, gram asc) as rk
+                        from c3) where rk = 1),
+            tok as (select doc_id, norm_len, unnest(tk) as tok,
+                           unnest(range(len(tk))) as pos
+                    from base),
+            cm as (select doc_id, norm_len, tok, pos,
+                          sum(len(tok) + 1) over (partition by doc_id
+                              order by pos) as cum
+                   from tok),
+            o2 as (select * from (
+                      select doc_id, norm_len,
+                             concat_ws(' ', tok, lead(tok, 1) over w) as gram,
+                             cum - len(tok) - 1 as s,
+                             lead(cum, 1) over w - 2 as e
+                      from cm
+                      window w as (partition by doc_id order by pos))
+                   where e is not null),
+            d2 as (select * from (
+                      select o2.*, count(*) over (partition by doc_id, gram) as cnt
+                      from o2) where cnt > 1),
+            s2 as (select doc_id,
+                          greatest(0, e - greatest(s - 1,
+                              coalesce(max(e) over (partition by doc_id
+                                  order by s, e rows between unbounded preceding
+                                  and 1 preceding), -1))) as contrib
+                   from d2),
+            v2 as (select doc_id, sum(contrib) as dup_chars from s2 group by 1),
+            o3 as (select * from (
+                      select doc_id, norm_len,
+                             concat_ws(' ', tok, lead(tok, 1) over w,
+                                       lead(tok, 2) over w) as gram,
+                             cum - len(tok) - 1 as s,
+                             lead(cum, 2) over w - 2 as e
+                      from cm
+                      window w as (partition by doc_id order by pos))
+                   where e is not null),
+            d3 as (select * from (
+                      select o3.*, count(*) over (partition by doc_id, gram) as cnt
+                      from o3) where cnt > 1),
+            s3 as (select doc_id,
+                          greatest(0, e - greatest(s - 1,
+                              coalesce(max(e) over (partition by doc_id
+                                  order by s, e rows between unbounded preceding
+                                  and 1 preceding), -1))) as contrib
+                   from d3),
+            v3 as (select doc_id, sum(contrib) as dup_chars from s3 group by 1)
+            select b.doc_id,
+                   round(case when b.norm_len > 0
+                         then coalesce(top2.cnt * len(top2.gram), 0)::double / b.norm_len
+                         else 0.0 end, 6) as top2gram_frac,
+                   round(case when b.norm_len > 0
+                         then coalesce(top3.cnt * len(top3.gram), 0)::double / b.norm_len
+                         else 0.0 end, 6) as top3gram_frac,
+                   round(case when b.norm_len > 0
+                         then coalesce(v2.dup_chars, 0)::double / b.norm_len
+                         else 0.0 end, 6) as dup2gram_frac,
+                   round(case when b.norm_len > 0
+                         then coalesce(v3.dup_chars, 0)::double / b.norm_len
+                         else 0.0 end, 6) as dup3gram_frac
+            from base b
+            left join top2 on b.doc_id = top2.doc_id
+            left join top3 on b.doc_id = top3.doc_id
+            left join v2 on b.doc_id = v2.doc_id
+            left join v3 on b.doc_id = v3.doc_id
+        """,
+        # crossdoc_span_dedup: 8-gram hashes shared by >= 2 distinct
+        # docs, token-position interval union per doc (same sweep);
+        # the flag compares the ROUNDED fraction like the Spark side.
+        "crossdoc_span_dedup": f"""
+            with base as (select doc_id, {toks} as tk from documents),
+            g as (select doc_id, i - 1 as pos,
+                         {h("array_to_string(list_slice(tk, i, i + 7), ' ')", "span")} as gh
+                  from base, unnest(range(1, len(tk) - 6)) as u(i)
+                  where len(tk) >= 8),
+            c as (select gh from g group by gh
+                  having count(distinct doc_id) >= 2),
+            dup as (select doc_id, pos as s, pos + 7 as e
+                    from g join c using (gh)),
+            swp as (select doc_id,
+                           greatest(0, e - greatest(s - 1,
+                               coalesce(max(e) over (partition by doc_id
+                                   order by s, e rows between unbounded preceding
+                                   and 1 preceding), -1))) as contrib
+                    from dup),
+            cov as (select doc_id, sum(contrib) as dup_tokens from swp group by 1),
+            fin as (select b.doc_id,
+                           cast(len(b.tk) as bigint) as n_tokens,
+                           cast(coalesce(cov.dup_tokens, 0) as bigint) as dup_tokens,
+                           round(case when len(b.tk) > 0
+                                 then coalesce(cov.dup_tokens, 0)::double / len(b.tk)
+                                 else 0.0 end, 6) as dup_token_frac
+                    from base b left join cov using (doc_id))
+            select doc_id, n_tokens, dup_tokens, dup_token_frac,
+                   cast(case when dup_token_frac >= 0.5 then 1 else 0 end as int) as is_dup
+            from fin
         """,
         "ego_graph_features": """
             with m as (

@@ -1,0 +1,115 @@
+"""Cross-document duplicate-span detection — the distributed analog of
+exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better", which builds a corpus
+suffix array to find verbatim spans shared across documents).
+
+A suffix array is a single-machine structure; the Spark-native plan
+detects shared spans at token n-gram granularity instead:
+
+1. per document, hash every token n-gram to a 60-bit engine-portable
+   key (``hash60`` — the md5-based hash used by every blocking stage);
+   the gram STRING never leaves the map task, only the fixed-width
+   hash and its start position are shuffled;
+2. aggregate the distinct-document count per hash (two-stage partial
+   aggregation on (hash, doc) then hash — the only corpus-wide
+   shuffle, hash-partitioned, skew-safe because a hot n-gram still
+   contributes one row per (hash, doc));
+3. join the ``n_docs >= min_docs`` hashes back to their occurrences
+   (each occurrence matches exactly one count row — no fan-out) and
+   union the covered token intervals [pos, pos+n-1] per document with
+   an interval sweep (running max of interval ends, a bounded per-doc
+   window);
+4. report per document the covered-token fraction and a removal flag.
+
+At 100 TB this is the canonical shape: O(tokens) exploded rows, one
+shuffle on the gram hash, one broadcast-or-shuffle join back, per-doc
+windows bounded by document length, zero driver state.  Unlike the
+MinHash / SimHash / Jaccard operators (whole-document near-dup), this
+one finds PARTIAL overlap — boilerplate, quoted passages, mirrored
+paragraphs — which document-level signatures dilute away.
+
+The reference repo has no span-level dedup (this is the training-data
+pipeline mandate); semantics follow the published exact-substring
+method at n-gram resolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from whoiswho_spark.functions.repetition import _ngram_array
+from whoiswho_spark.functions.textstats import ws_tokens_col
+from whoiswho_spark.operators.blocking import hash60
+
+
+def crossdoc_duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    flag_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-corpus duplicated-span coverage.
+
+    A token position is covered when at least one n-gram window
+    containing its position occurs in ``min_docs`` or more DISTINCT
+    documents (within-document repetition alone never triggers —
+    that is `functions.repetition`'s job).  Coverage is the union of
+    the qualifying windows (interval sweep), so ``dup_token_frac`` is
+    in [0, 1].  Output: one row per input document with
+    (id, n_tokens, dup_tokens, dup_token_frac, is_dup) where ``is_dup``
+    is 1 when the fraction reaches ``flag_threshold``.
+    """
+    if n < 1:
+        raise ValueError("span ngram n must be >= 1")
+    if min_docs < 2:
+        raise ValueError("min_docs < 2 would flag within-document repetition")
+    arr = ws_tokens_col(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(arr).cast("bigint").alias("n_tokens"),
+        F.transform(_ngram_array(arr, n), lambda g: hash60(g, "span")).alias("_ghs"),
+    )
+    grams = base.select("_id", F.posexplode("_ghs").alias("_pos", "_gh"))
+    counts = grams.groupBy("_gh").agg(
+        F.countDistinct("_id").cast("bigint").alias("_ndocs")
+    )
+    dup = grams.join(
+        counts.filter(F.col("_ndocs") >= min_docs).select("_gh"), "_gh", "inner"
+    ).select("_id", F.col("_pos").alias("_start"), (F.col("_pos") + n - 1).alias("_end"))
+    ws = Window.partitionBy("_id").orderBy("_start", "_end")
+    prev_max = F.max("_end").over(ws.rowsBetween(Window.unboundedPreceding, -1))
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("_end")
+        - F.greatest(F.col("_start") - 1, F.coalesce(prev_max, F.lit(-1))),
+    )
+    cov = (
+        dup.withColumn("_contrib", contrib)
+        .groupBy("_id")
+        .agg(F.sum("_contrib").cast("bigint").alias("dup_tokens"))
+    )
+    frac = F.round(
+        F.when(
+            F.col("n_tokens") > 0,
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        base.select("_id", "n_tokens")
+        .join(cov, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+            frac.alias("dup_token_frac"),
+            F.when(frac >= F.lit(float(flag_threshold)), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_dup"),
+        )
+    )
