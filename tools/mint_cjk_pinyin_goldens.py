@@ -42,11 +42,11 @@ REF_MIND_TOOL = "/root/reference/mind/tool"
 TESTS = os.path.join(REPO, "tests")
 
 from whoiswho_spark.functions.pinyin import lazy_pinyin  # noqa: E402
+from whoiswho_spark.functions.translit import ascii_fold  # noqa: E402
 
-
-def _ascii_fold(s: str) -> str:
-    d = unicodedata.normalize("NFKD", s)
-    return "".join(ch for ch in d if not unicodedata.combining(ch))
+# the package fold (NFKD + vendored transliteration) — the same
+# unidecode stand-in every golden is minted with
+_ascii_fold = ascii_fold
 
 
 def install_stubs() -> None:

@@ -5,17 +5,21 @@ Dev-only harness: reads the read-only reference checkout at
 /root/reference (tool/is_chinese.py, tool/const.py, tool/util.py,
 tool/match_name.py) with two import stubs:
 
-- ``unidecode`` -> the same NFKD ascii-fold this repo uses everywhere
-  (parity note in whoiswho_spark/functions/name_match.py);
-- ``pypinyin`` -> a poison stub that raises if called. The pinyin branch
-  only triggers for names with >=2 non-ASCII chars and <3 ASCII chars;
-  every battery name below stays out of that branch, so the goldens are
-  pinyin-independent.
+- ``unidecode`` -> the package's own fold (functions/translit.py: NFKD
+  + vendored Cyrillic/Greek/Latin-extended transliteration — parity
+  note in whoiswho_spark/functions/name_match.py);
+- ``pypinyin`` -> a shim over the package's vendored pinyin table with
+  real pypinyin's shape (one segment per Han char, non-Han passed
+  through grouped). Latin battery names never reach it; Cyrillic/Greek
+  names route their non-ASCII plane through it untouched, exactly like
+  real pypinyin, before unidecode folds the result.
 
 Outputs:
 - tests/goldens_is_chinese.json     [[name, bool], ...]
 - tests/goldens_name_battery_cn.json [[a, b, strict7, loose7], ...]
   (battery vectors with the real is_chinese_name wired in)
+- tests/goldens_name_translit.json  [[raw, tokenized, is_chinese], ...]
+  (cross-script names through reference tokenize_name + predicate)
 and prints the 13-pair name_match_pairs dispatch truth (strict/loose)
 used by the frozen oracle in __spark_entry__.py.
 """
@@ -28,16 +32,21 @@ import os
 import random
 import sys
 import types
-import unicodedata
 
 REF_TOOL = "/root/reference/whoiswho/character/name_match/tool"
 HERE = os.path.dirname(os.path.abspath(__file__))
 TESTS = os.path.join(HERE, "..", "tests")
 
 
-def _ascii_fold(s: str) -> str:
-    d = unicodedata.normalize("NFKD", s)
-    return "".join(ch for ch in d if not unicodedata.combining(ch))
+sys.path.insert(0, os.path.join(HERE, ".."))
+
+from whoiswho_spark.functions.pinyin import lazy_pinyin  # noqa: E402
+from whoiswho_spark.functions.translit import ascii_fold  # noqa: E402
+
+# The SAME fold the package uses (NFKD + vendored Cyrillic/Greek/
+# Latin-extended transliteration) — goldens are reference-code,
+# package-fold by construction.
+_ascii_fold = ascii_fold
 
 
 def load_reference_tool():
@@ -45,12 +54,13 @@ def load_reference_tool():
     uni.unidecode = _ascii_fold
     sys.modules["unidecode"] = uni
 
+    # pypinyin.pinyin(word, NORMAL) stub = the package's vendored table,
+    # mirroring real pypinyin's shape: one [segment] per Han char,
+    # consecutive non-Han chars grouped and PASSED THROUGH (this is the
+    # branch Cyrillic/Greek names take in cleaning_name: the non-ASCII
+    # plane goes through pinyin() untouched, then unidecode folds it).
     pin = types.ModuleType("pypinyin")
-
-    def _poison(*a, **k):  # pragma: no cover - must never fire
-        raise RuntimeError("pypinyin called: battery name hit the CJK-pinyin branch")
-
-    pin.pinyin = _poison
+    pin.pinyin = lambda word, style=0, **k: [[seg] for seg in lazy_pinyin(word)]
     pin.NORMAL = 0
     sys.modules["pypinyin"] = pin
 
@@ -106,6 +116,21 @@ PREDICATE_BATTERY = [
     "m ćwiok", "ÅSA Öberg", "José Niño", "Tôn Thất Tùng",
 ]
 
+# Cross-script names the vendored transliteration table unlocks
+# (functions/translit.py): Cyrillic and Greek route their non-ASCII
+# plane through the pinyin pass-through then the fold; Latin-extended
+# letters (ł/ø/ß/æ/þ) have no NFKD decomposition and fold by table.
+TRANSLIT_BATTERY = [
+    "Иван Петров", "ИВАН ПЕТРОВ", "Дмитрий Жуков", "Фёдор Щербаков",
+    "Юрий Яковлев", "Эдуард Хиль", "Олександр Ґонґадзе", "Їжак Євген",
+    "Владимир В. Путинцев", "А. С. Пушкин", "Njegoš Đorđević",
+    "Γιώργος Παπαδόπουλος", "Θεόδωρος Κολοκοτρώνης", "Χρήστος Ψωμάς",
+    "Ωμέγα Ξενάκης", "Łukasz Gołąb", "Søren Kierkegaard",
+    "Björn Þórsson", "Ðorđe Æbelø", "Jürgen Straßmann",
+    # mixed-script: ASCII plane > 3 chars wins the en_name branch
+    "Ivan Петров", "Anna Καραμανλή",
+]
+
 
 def main() -> None:
     mods = load_reference_tool()
@@ -154,7 +179,9 @@ def main() -> None:
         if len(toks) >= 2:
             out.add(toks[0] + toks[1] + " " + " ".join(toks[2:]))  # concat
             out.add(" ".join(toks[:-1]) + " " + toks[-1][:-1])  # truncate
-        return [" ".join(v.split()) for v in out]
+        # sorted: set iteration is hash-seed-dependent, and rng.choice
+        # over an unstable order made re-mints spuriously differ
+        return sorted(" ".join(v.split()) for v in out)
 
     pairs = set()
     for nm in base:
@@ -176,6 +203,38 @@ def main() -> None:
         json.dump(cn_goldens, f, indent=0)
     n_hit = sum(1 for g in cn_goldens if any(g[2]) or any(g[3]))
     print(f"cn battery goldens: {len(cn_goldens)} pairs, {n_hit} with a match")
+
+    # Cross-script goldens: reference tokenize_name (token.py:102-119,
+    # unidecode call at :110 stubbed with the package fold) + the real
+    # predicate, plus matcher vectors over TOKENIZED cross-script pairs
+    # (same-name-different-script, initialed, and negative pairs).
+    tok = mods["token"]
+    translit_names = [
+        [n, tok.tokenize_name(n), bool(ic.is_chinese_name(n))]
+        for n in TRANSLIT_BATTERY
+    ]
+    cross_pairs = [
+        ("Ivan Petrov", "Иван Петров"),
+        ("И. Петров", "Иван Петров"),
+        ("Иван Петров", "Петров Иван"),
+        ("G. Papadopoulos", "Γιώργος Παπαδόπουλος"),
+        ("Γιώργος Παπαδόπουλος", "Giorgos Papadopoulos"),
+        ("Lukasz Golab", "Łukasz Gołąb"),
+        ("Soren Kierkegaard", "Søren Kierkegaard"),
+        ("Jurgen Strassmann", "Jürgen Straßmann"),
+        ("Иван Петров", "Дмитрий Жуков"),
+        ("Θεόδωρος Κολοκοτρώνης", "Γιώργος Παπαδόπουλος"),
+    ]
+    translit_pairs = [
+        [a, b, *battery(tok.tokenize_name(a), tok.tokenize_name(b))]
+        for a, b in cross_pairs
+    ]
+    with open(os.path.join(TESTS, "goldens_name_translit.json"), "w") as f:
+        json.dump({"names": translit_names, "pairs": translit_pairs}, f,
+                  indent=0, ensure_ascii=False)
+    n_match = sum(1 for g in translit_pairs if any(g[2]) or any(g[3]))
+    print(f"translit goldens: {len(translit_names)} names, "
+          f"{len(translit_pairs)} pairs ({n_match} with a match)")
 
     # Existing 400-pair sweep: how many vectors change under the real
     # predicate (informational — that test now pins the stub explicitly).

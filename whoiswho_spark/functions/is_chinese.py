@@ -50,6 +50,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
 from whoiswho_spark.functions.pinyin import pinyin_normal
+from whoiswho_spark.functions.translit import ascii_fold
 
 def _load_tables() -> dict:
     """zipimport-safe (spark-submit --py-files ships the package as a
@@ -89,8 +90,9 @@ PINYIN_SPECIAL_CASE = {
 }
 
 def _ascii_fold(s: str) -> str:
-    d = unicodedata.normalize("NFKD", s)
-    return "".join(ch for ch in d if not unicodedata.combining(ch))
+    """unidecode stand-in (is_chinese.py:34): NFKD + vendored
+    transliteration — see functions/translit.py."""
+    return ascii_fold(s)
 
 
 def cleaning_name_cn(name: str) -> str:

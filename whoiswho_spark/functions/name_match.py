@@ -12,10 +12,14 @@ Semantics re-derived from:
   7-15,55-128.
 
 Parity notes:
-- ``unidecode`` is absent in this environment → NFKD ascii-fold. The two
-  agree on Latin diacritics (the reference's own ``__main__`` case
-  'm ćwiok' → 'm cwiok' holds); they differ on non-Latin scripts, which
-  the webtext retarget does not exercise.
+- ``unidecode`` is absent in this environment → NFKD fold + the vendored
+  Cyrillic/Greek/Latin-extended transliteration table
+  (``functions/translit.py``, documented conventions, no unidecode
+  bit-parity claim). Latin diacritics agree with unidecode by
+  construction (the reference's own ``__main__`` case 'm ćwiok' →
+  'm cwiok' holds); Cyrillic/Greek names now romanize through every
+  unidecode call site, so cross-script matching works; goldens are
+  minted from the reference with this same fold as the stub.
 - ``is_chinese_name`` (tool/is_chinese.py:70-97) is implemented to
   reference parity in ``whoiswho_spark/functions/is_chinese.py`` (with
   the const.py romanization tables as contract data) and is the DEFAULT
@@ -40,16 +44,17 @@ from pyspark.sql.types import BooleanType, StringType
 
 from whoiswho_spark.constants import NAME_STOPWORDS, NICKNAME_DICT
 from whoiswho_spark.functions.is_chinese import is_chinese_name
+from whoiswho_spark.functions.translit import ascii_fold
 
 _NON_WORD_DOT = re.compile(r"[^\w.]")
 _MULTI_SPACE = re.compile(" +")
 
 
 def _ascii_fold(s: str) -> str:
-    """NFKD-decompose then drop combining marks — the unidecode stand-in
-    (see module parity note)."""
-    d = unicodedata.normalize("NFKD", s)
-    return "".join(ch for ch in d if not unicodedata.combining(ch))
+    """The unidecode stand-in: NFKD fold + vendored Cyrillic/Greek/
+    Latin-extended transliteration (functions/translit.py — goldens are
+    minted from the reference with the same fold; see parity note)."""
+    return ascii_fold(s)
 
 
 def tokenize_name(name: str) -> str:

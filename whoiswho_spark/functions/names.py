@@ -24,6 +24,7 @@ from pyspark.sql.types import ArrayType, StringType
 
 from whoiswho_spark.constants import NAMES_WRONG
 from whoiswho_spark.functions.pinyin import has_han, lazy_pinyin, pinyin_get
+from whoiswho_spark.functions.translit import ascii_fold
 
 _NON_ALPHA = re.compile(r"[^a-z]+")
 
@@ -44,16 +45,16 @@ def unify_name_order(name: str) -> tuple[str, str]:
 def cleaning_name(name: str) -> str:
     """lowercase → pinyin → ascii-fold → non-alpha→space → collapse.
     Reference: is_chinese.py:8-43 (pypinyin NORMAL + unidecode); here
-    NFKD-fold replaces unidecode and the vendored romanization table
-    (functions/pinyin.py, goldens minted from the reference with the
-    same table as the package stub) replaces pypinyin."""
+    the vendored transliteration fold (functions/translit.py) replaces
+    unidecode and the vendored romanization table (functions/pinyin.py,
+    goldens minted from the reference with the same tables as the
+    package stubs) replaces pypinyin."""
     if name is None:
         return ""
     s = name.lower()
     if has_han(s):
         s = " ".join(lazy_pinyin(s))
-    s = unicodedata.normalize("NFKD", s)
-    s = "".join(ch for ch in s if not unicodedata.combining(ch))
+    s = ascii_fold(s)
     # the reference keeps isalpha() chars, not [a-z] (mind/utils.py:
     # 84-91): NFKD-surviving letters (ß, out-of-table Han) stay as
     # opaque tokens instead of vanishing — CJK-golden-gated
