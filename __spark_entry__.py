@@ -968,26 +968,13 @@ def _q_gopher_repetition(spark, sf):
     contract query exercises the same operators at the n where the
     output is non-degenerate (349 / 27 docs with within-doc duplicate
     2- / 3-grams); the n >= 5 semantics are pytest-covered on crafted
-    fixtures."""
-    from whoiswho_spark.functions.repetition import (
-        dup_ngram_char_frac,
-        top_ngram_frac,
-    )
+    fixtures. Contract plan = the FUSED zero-shuffle Arrow kernel
+    (integer numerators per doc, fractions + round(6) in Catalyst);
+    the explode+window twins are parity-tested against it."""
+    from whoiswho_spark.functions.repetition import gopher_repetition_stats_fused
 
     docs = _t(spark, sf, "documents")
-    t2 = top_ngram_frac(docs, 2).select(
-        "doc_id", F.col("frac").alias("top2gram_frac")
-    )
-    t3 = top_ngram_frac(docs, 3).select(
-        "doc_id", F.col("frac").alias("top3gram_frac")
-    )
-    d2 = dup_ngram_char_frac(docs, 2).select(
-        "doc_id", F.col("frac").alias("dup2gram_frac")
-    )
-    d3 = dup_ngram_char_frac(docs, 3).select(
-        "doc_id", F.col("frac").alias("dup3gram_frac")
-    )
-    return t2.join(t3, "doc_id").join(d2, "doc_id").join(d3, "doc_id")
+    return gopher_repetition_stats_fused(docs, top_ns=(2, 3), dup_ns=(2, 3))
 
 
 def _q_crossdoc_span_dedup(spark, sf):
@@ -995,9 +982,11 @@ def _q_crossdoc_span_dedup(spark, sf):
     analog at 8-gram granularity — operators/span_dedup.py): per
     document, the fraction of token positions covered by 8-grams that
     occur in >= 2 distinct documents, plus the >= 0.5 removal flag.
-    Only the 60-bit gram hash is shuffled; coverage is an interval-
-    union sweep per doc. Non-degenerate here: the corpus's 5%% 'dup'
-    documents + their sources (47 docs at sf0.01) flag at 1.0."""
+    Only a 64-bit xxhash64 gram key is shuffled (never output; the
+    oracle meets on raw gram strings — exact); coverage is an
+    interval-union sweep per doc. Non-degenerate here: the corpus's
+    5%% 'dup' documents + their sources (47 docs at sf0.01) flag at
+    1.0."""
     from whoiswho_spark.operators.span_dedup import crossdoc_duplicate_spans
 
     docs = _t(spark, sf, "documents")
@@ -2127,13 +2116,15 @@ def oracle_sql() -> dict[str, str]:
             left join v2 on b.doc_id = v2.doc_id
             left join v3 on b.doc_id = v3.doc_id
         """,
-        # crossdoc_span_dedup: 8-gram hashes shared by >= 2 distinct
-        # docs, token-position interval union per doc (same sweep);
-        # the flag compares the ROUNDED fraction like the Spark side.
+        # crossdoc_span_dedup: 8-grams shared by >= 2 distinct docs,
+        # token-position interval union per doc (same sweep); the flag
+        # compares the ROUNDED fraction like the Spark side. The oracle
+        # meets on RAW gram strings (exact); the Spark plan shuffles
+        # xxhash64 keys instead — the hash never reaches the output.
         "crossdoc_span_dedup": f"""
             with base as (select doc_id, {toks} as tk from documents),
             g as (select doc_id, i - 1 as pos,
-                         {h("array_to_string(list_slice(tk, i, i + 7), ' ')", "span")} as gh
+                         array_to_string(list_slice(tk, i, i + 7), ' ') as gh
                   from base, unnest(range(1, len(tk) - 6)) as u(i)
                   where len(tk) >= 8),
             c as (select gh from g group by gh

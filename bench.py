@@ -47,6 +47,8 @@ def run_bench(sf_dir: str, cpus: int, extra_conf=None) -> dict:
         "token_stats",
         "events_hourly",
         "simhash_pairs",
+        "gopher_repetition",
+        "crossdoc_span_dedup",
     ]
     # best-of-N: the shared VM's co-tenant load makes single-shot
     # wall-clocks noisy (±20%); min over reps is the standard stable

@@ -95,6 +95,41 @@ def test_gopher_stats_frame_shape(spark):
     assert r.dup5gram_frac == 0.0
 
 
+def test_fused_kernel_matches_catalyst_twins(spark):
+    """The contract plan (one Arrow map pass) must equal the
+    explode+window formulation value-for-value — incl. the mode
+    tie-break, overlap unions and short-doc zero rows."""
+    from whoiswho_spark.functions.repetition import gopher_repetition_stats_fused
+
+    rows = [
+        (1, "x y x y z"),
+        (2, "a a a a"),
+        (3, "p q r s t u p q r s t"),
+        (4, "a b c a b c"),
+        (5, "only"),
+        (6, ""),
+        (7, "a b c d e f g h i j"),
+        (8, "m n m n m n m n o p q m n"),
+    ]
+    docs = _docs(spark, rows)
+    kw = dict(top_ns=(2, 3), dup_ns=(2, 3, 5))
+    fused = {r.doc_id: r for r in gopher_repetition_stats_fused(docs, **kw).collect()}
+    ref = {r.doc_id: r for r in gopher_repetition_stats(docs, **kw).collect()}
+    assert set(fused) == set(ref)
+    for k in fused:
+        assert fused[k].asDict() == ref[k].asDict(), (k, fused[k], ref[k])
+
+
+def test_fused_kernel_matches_on_sf_corpus(spark):
+    from whoiswho_spark.functions.repetition import gopher_repetition_stats_fused
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(top_ns=(2,), dup_ns=(2,))
+    a = gopher_repetition_stats_fused(docs, **kw)
+    b = gopher_repetition_stats(docs, **kw)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_repetition_rejects_bad_n(spark):
     with pytest.raises(ValueError, match="n must be"):
         top_ngram_frac(_docs(spark, [(1, "a b")]), 0).collect()

@@ -174,6 +174,111 @@ def dup_ngram_char_frac(
     )
 
 
+def gopher_repetition_stats_fused(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """All Gopher repetition metrics in ONE Arrow-batched map pass —
+    the contract plan.
+
+    Every metric is per-document, so the explode+window formulation
+    (`top_ngram_frac` / `dup_ngram_char_frac`, kept as the
+    oracle-shaped reference twins) pays one token explode plus three
+    corpus-wide sorts PER metric for work that never crosses a
+    document boundary.  This kernel computes every requested n in one
+    ``mapInPandas`` over the raw docs: zero shuffles, zero joins,
+    per-task memory = one document's token list — the plan that stays
+    linear at 100 TB.  The kernel emits INTEGER numerators
+    (counts/char-coverages) and the final fractions are derived in
+    Catalyst with the same round(·, 6) the SQL oracle uses, so
+    engine-portable rounding is preserved.  Output schema and values
+    are identical to ``gopher_repetition_stats`` (parity-tested).
+    """
+    from collections import Counter
+
+    for n in (*top_ns, *dup_ns):
+        if n < 1:
+            raise ValueError("ngram n must be >= 1")
+    top_ns = tuple(top_ns)
+    dup_ns = tuple(dup_ns)
+    int_cols = (
+        ["norm_len"]
+        + [f"_top{n}_{k}" for n in top_ns for k in ("cnt", "len")]
+        + [f"_dup{n}_chars" for n in dup_ns]
+    )
+    schema = f"{id_col} bigint, " + ", ".join(f"{c} bigint" for c in int_cols)
+
+    def kernel(batches):
+        import pandas as pd  # noqa: F811 — worker-side import
+
+        def one(text: str) -> list:
+            toks = [t for t in (text or "").split(" ") if t]
+            nt = len(toks)
+            norm_len = sum(map(len, toks)) + nt - 1 if nt else 0
+            starts = [0] * nt
+            for i in range(1, nt):
+                starts[i] = starts[i - 1] + len(toks[i - 1]) + 1
+            row = [norm_len]
+            for n in top_ns:
+                grams = [" ".join(toks[i : i + n]) for i in range(nt - n + 1)]
+                if grams:
+                    c = Counter(grams)
+                    mx = max(c.values())
+                    best = min(g for g, k in c.items() if k == mx)
+                    row += [mx, len(best)]
+                else:
+                    row += [0, 0]
+            for n in dup_ns:
+                grams = [" ".join(toks[i : i + n]) for i in range(nt - n + 1)]
+                c = Counter(grams)
+                covered, prev_end = 0, -1
+                for i, g in enumerate(grams):
+                    if c[g] < 2:
+                        continue
+                    s, e = starts[i], starts[i + n - 1] + len(toks[i + n - 1]) - 1
+                    if e > prev_end:
+                        covered += e - max(s - 1, prev_end)
+                        prev_end = e
+                row.append(covered)
+            return row
+
+        for pdf in batches:
+            rows = [one(t) for t in pdf[text_col]]
+            out = {id_col: pdf[id_col].astype("int64")}
+            for j, c in enumerate(int_cols):
+                out[c] = pd.array([r[j] for r in rows], dtype="int64")
+            yield pd.DataFrame(out)
+
+    from whoiswho_spark.session import spread_small_input
+
+    ints = spread_small_input(docs.select(id_col, text_col)).mapInPandas(
+        kernel, schema=schema
+    )
+
+    def _frac(num):
+        return F.round(
+            F.when(
+                F.col("norm_len") > 0,
+                num.cast("double") / F.col("norm_len").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    sel = [F.col(id_col)]
+    for n in top_ns:
+        sel.append(
+            _frac(F.col(f"_top{n}_cnt") * F.col(f"_top{n}_len")).alias(
+                f"top{n}gram_frac"
+            )
+        )
+    for n in dup_ns:
+        sel.append(_frac(F.col(f"_dup{n}_chars")).alias(f"dup{n}gram_frac"))
+    return ints.select(*sel)
+
+
 def gopher_repetition_stats(
     docs: DataFrame,
     id_col: str = "doc_id",

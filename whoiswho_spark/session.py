@@ -17,6 +17,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def spread_small_input(df, min_factor: float = 0.5):
+    """Repartition ``df`` to the cluster's default parallelism when the
+    scan produced too few partitions to use it (the small-file trap:
+    a sub-128MB parquet scans as ONE task, so any expensive pre-shuffle
+    projection — n-gram building, a decode UDF — runs single-threaded).
+    Already-parallel inputs pass through untouched: at real scale the
+    scan has plenty of splits and the extra exchange would be waste.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_factor)):
+        return df.repartition(target)
+    return df
+
+
 def get_spark(
     app_name: str = "whoiswho_spark",
     master: str | None = None,
