@@ -993,6 +993,20 @@ def _q_crossdoc_span_dedup(spark, sf):
     return crossdoc_duplicate_spans(docs, n=8, min_docs=2, flag_threshold=0.5)
 
 
+def _q_crossdoc_span_removed(spark, sf):
+    """Duplicate-span REMOVAL (operators/span_dedup_remove.py — the
+    Lee et al. action, not just the flag): every 8-gram shared by >= 2
+    distinct docs keeps its occurrences only in the smallest sharing
+    doc_id; other docs lose the union of the covering windows, and
+    clean_text is the surviving tokens re-joined. The oracle replays
+    ownership (min doc_id per shared gram) and rebuilds clean_text with
+    an ordered string_agg over surviving positions."""
+    from whoiswho_spark.operators.span_dedup_remove import remove_duplicated_spans
+
+    docs = _t(spark, sf, "documents")
+    return remove_duplicated_spans(docs, n=8, min_docs=2)
+
+
 def _q_gbdt_scores(spark, sf):
     """GBDT ensemble scorer (§2.9): numpy histogram-boosted trees fit on
     a bounded deterministic sample, INFERENCE COMPILED TO A CATALYST
@@ -1145,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "propagation_smoothed": _q_propagation_smoothed,
         "gopher_repetition": _q_gopher_repetition,
         "crossdoc_span_dedup": _q_crossdoc_span_dedup,
+        "crossdoc_span_removed": _q_crossdoc_span_removed,
     }
 
 
@@ -2148,6 +2163,41 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, n_tokens, dup_tokens, dup_token_frac,
                    cast(case when dup_token_frac >= 0.5 then 1 else 0 end as int) as is_dup
             from fin
+        """,
+        # crossdoc_span_removed: ownership = min(doc_id) per shared
+        # gram; removed positions = union of non-owner covering windows
+        # (position-exploded — the oracle needn't mirror the Spark
+        # plan's interval sweep, only its result); clean_text rebuilt
+        # by ordered string_agg over surviving token positions.
+        "crossdoc_span_removed": f"""
+            with base as (select doc_id, {toks} as tk from documents),
+            tok as (select doc_id, unnest(tk) as tok,
+                           unnest(range(len(tk))) as pos
+                    from base),
+            g as (select doc_id, i - 1 as pos,
+                         array_to_string(list_slice(tk, i, i + 7), ' ') as gh
+                  from base, unnest(range(1, len(tk) - 6)) as u(i)
+                  where len(tk) >= 8),
+            c as (select gh, min(doc_id) as owner from g
+                  group by gh having count(distinct doc_id) >= 2),
+            doomed as (select g.doc_id, g.pos from g join c using (gh)
+                       where g.doc_id != c.owner),
+            cut as (select distinct doc_id, pos + d as cutpos
+                    from doomed, unnest(range(0, 8)) as r(d)),
+            keptagg as (select t.doc_id,
+                               count(*) filter (where cut.cutpos is null) as kept,
+                               coalesce(string_agg(t.tok, ' ' order by t.pos)
+                                   filter (where cut.cutpos is null), '') as clean_text
+                        from tok t
+                        left join cut on cut.doc_id = t.doc_id
+                                     and cut.cutpos = t.pos
+                        group by t.doc_id)
+            select b.doc_id,
+                   cast(len(b.tk) as bigint) as n_tokens,
+                   cast(coalesce(k.kept, 0) as bigint) as kept_tokens,
+                   cast(len(b.tk) - coalesce(k.kept, 0) as bigint) as removed_tokens,
+                   coalesce(k.clean_text, '') as clean_text
+            from base b left join keptagg k using (doc_id)
         """,
         "ego_graph_features": """
             with m as (

@@ -55,10 +55,30 @@ def test_no_cartesian_products_in_headline_plans(spark):
         "events_hourly",
         "bond_threshold_edges",
         "name_match_pairs",
+        "gopher_repetition",
+        "crossdoc_span_dedup",
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_gopher_fused_plan_has_no_shuffle(spark):
+    # the fused kernel's whole point: one Arrow map pass, zero exchanges
+    # other than the small-input spread repartition
+    plan = _plan(spark, "gopher_repetition")
+    body = plan.split("ArrowEvalPython") if "ArrowEvalPython" in plan else [plan]
+    after_kernel = body[0]  # plan prints top-down: result side first
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Window" not in after_kernel
+
+
+def test_crossdoc_span_column_pruning(spark):
+    plan = _plan(spark, "crossdoc_span_dedup")
+    scan = next(s for s in plan.splitlines() if "FileScan parquet" in s)
+    cols = scan.split("FileScan parquet [")[1].split("]")[0]
+    names = {c.split("#")[0] for c in cols.split(",")}
+    assert names == {"doc_id", "text"}, names
 
 
 def test_exact_dedup_shuffles_hash_only(spark):

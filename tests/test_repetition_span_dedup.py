@@ -183,3 +183,75 @@ def test_crossdoc_full_duplicate_hits_one(spark):
     out = {r.doc_id: r for r in crossdoc_duplicate_spans(docs, n=8).collect()}
     assert out[1].dup_token_frac == 1.0 and out[1].is_dup == 1
     assert out[2].dup_token_frac == 1.0 and out[2].is_dup == 1
+
+
+def test_remove_spans_keeps_owner_strips_others(spark):
+    from whoiswho_spark.operators.span_dedup_remove import remove_duplicated_spans
+
+    docs = _docs(
+        spark,
+        [
+            (1, SHARED + " tail1"),
+            (2, "head " + SHARED),
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+            (4, SHARED + " tail1"),  # exact dup of 1
+        ],
+    )
+    out = {r.doc_id: r for r in remove_duplicated_spans(docs, n=8).collect()}
+    # doc 1 owns every shared gram (smallest id) — untouched
+    assert out[1].clean_text == SHARED + " tail1" and out[1].removed_tokens == 0
+    # doc 2 loses the 8 shared tokens, keeps its own prefix
+    assert out[2].clean_text == "head" and out[2].removed_tokens == 8
+    # unrelated doc untouched
+    assert out[3].removed_tokens == 0 and out[3].kept_tokens == 9
+    # exact dup of doc 1: every gram owned by doc 1 -> emptied
+    assert out[4].clean_text == "" and out[4].kept_tokens == 0
+
+
+def test_remove_spans_overlapping_windows_union(spark):
+    from whoiswho_spark.operators.span_dedup_remove import remove_duplicated_spans
+
+    # doc 2 contains the shared 8-gram at two OVERLAPPING alignments
+    # (positions 1..8 and 2..9 both shared with doc 1 via w2..w8 w1? no:
+    # construct two shared 8-grams overlapping by 7 tokens)
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9"  # grams: w1..w8 (pos0), w2..w9 (pos1)
+    docs = _docs(spark, [(1, a), (2, "pre " + a + " post")])
+    out = {r.doc_id: r for r in remove_duplicated_spans(docs, n=8).collect()}
+    assert out[1].removed_tokens == 0
+    # doc 2 loses the union of [1,8] and [2,9] = 9 tokens
+    assert out[2].removed_tokens == 9
+    assert out[2].clean_text == "pre post"
+
+
+def test_remove_spans_removal_consistent_with_detector(spark):
+    """For every doc, removed_tokens <= dup_tokens (owners keep spans),
+    and a doc that owns nothing removes exactly its dup coverage."""
+    from whoiswho_spark.operators.span_dedup_remove import remove_duplicated_spans
+
+    docs = _docs(
+        spark,
+        [
+            (1, SHARED + " a1 a2"),
+            (2, SHARED + " b1 b2"),
+            (3, "c0 " + SHARED + " c1"),
+        ],
+    )
+    det = {r.doc_id: r for r in crossdoc_duplicate_spans(docs, n=8).collect()}
+    rem = {r.doc_id: r for r in remove_duplicated_spans(docs, n=8).collect()}
+    for k in det:
+        assert rem[k].removed_tokens <= det[k].dup_tokens
+    assert rem[1].removed_tokens == 0  # owner
+    assert rem[2].removed_tokens == det[2].dup_tokens == 8
+    assert rem[3].removed_tokens == det[3].dup_tokens == 8
+
+
+def test_remove_spans_guards(spark):
+    import pytest as _pt
+
+    from whoiswho_spark.operators.span_dedup_remove import remove_duplicated_spans
+
+    docs = _docs(spark, [(1, "a b")])
+    with _pt.raises(ValueError, match="min_docs"):
+        remove_duplicated_spans(docs, n=2, min_docs=1)
+    with _pt.raises(ValueError, match="n must be"):
+        remove_duplicated_spans(docs, n=0)

@@ -109,6 +109,8 @@ HEADLINE_SF1 = [
     "pairwise_f1",
     "token_stats",
     "simhash_pairs",
+    "gopher_repetition",
+    "crossdoc_span_dedup",
 ]
 
 
