@@ -1007,6 +1007,23 @@ def _q_crossdoc_span_removed(spark, sf):
     return remove_duplicated_spans(docs, n=8, min_docs=2)
 
 
+def _q_quality_filter(spark, sf):
+    """Composed corpus-cleaning decision (functions/quality_filter.py —
+    the Gopher/C4 pattern: independent rule gates, keep iff all pass):
+    language != 'und', quality >= 0.5, top-2-gram frac <= 0.25 and
+    dup-2-gram coverage <= 0.35, not a cross-doc duplicate. Every gate
+    verdict is emitted (flag_* = 1 means FAILED) so drops are
+    auditable. The oracle re-derives all four gates from the same
+    component SQL the individual queries use. lang_threshold is
+    calibrated to this corpus's marker density (only 'the' of the 31
+    vocab words is an en marker, mean ratio ~0.032) so the gate splits
+    the population instead of failing everything — standard filter
+    calibration, thresholds are operator parameters."""
+    from whoiswho_spark.functions.quality_filter import quality_filter_flags
+
+    return quality_filter_flags(_t(spark, sf, "documents"), lang_threshold=0.03)
+
+
 def _q_gbdt_scores(spark, sf):
     """GBDT ensemble scorer (§2.9): numpy histogram-boosted trees fit on
     a bounded deterministic sample, INFERENCE COMPILED TO A CATALYST
@@ -1160,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "crossdoc_span_dedup": _q_crossdoc_span_dedup,
         "crossdoc_span_removed": _q_crossdoc_span_removed,
+        "quality_filter": _q_quality_filter,
     }
 
 
@@ -2198,6 +2216,117 @@ def oracle_sql() -> dict[str, str]:
                    cast(len(b.tk) - coalesce(k.kept, 0) as bigint) as removed_tokens,
                    coalesce(k.clean_text, '') as clean_text
             from base b left join keptagg k using (doc_id)
+        """,
+        # quality_filter: the composed keep decision — each gate
+        # re-derived from the same SQL its standalone query uses, all
+        # thresholds compared on the ROUND(6) values like the Spark
+        # side. lang != 'und' <=> some when-chain clause fires.
+        "quality_filter": f"""
+            with base as (
+                select doc_id, {toks} as tk,
+                       case when len({toks}) > 0
+                            then len(array_to_string({toks}, ' '))
+                            else 0 end as norm_len
+                from documents),
+            lq as (select doc_id, len(tk) as n, len(list_distinct(tk)) as d,
+                          len(list_filter(tk, _tk -> list_contains({stop17}, _tk))) as st,
+                          len(list_filter(tk, _tk -> list_contains(
+                              ['der','die','das','und','ist','nicht','mit','ein','eine','zu'], _tk))) as de_h,
+                          len(list_filter(tk, _tk -> list_contains(
+                              ['le','la','les','et','est','une','pas','pour','que','dans'], _tk))) as fr_h
+                   from base),
+            gates1 as (select doc_id,
+                              case when n > 0 then st::double / n else 0.0 end as r_en,
+                              case when n > 0 then de_h::double / n else 0.0 end as r_de,
+                              case when n > 0 then fr_h::double / n else 0.0 end as r_fr,
+                              round(0.4 * least(1.0, n / 100.0)
+                                  + 0.3 * (case when n > 0 then d::double / n else 0.0 end)
+                                  + 0.3 * (1.0 - abs((case when n > 0 then st::double / n
+                                                      else 0.0 end) - 0.4)), 6) as quality
+                       from lq),
+            flag1 as (select doc_id,
+                             case when (r_en >= r_de and r_en >= r_fr and r_en > 0.03)
+                                    or (r_de >= r_fr and r_de > 0.03)
+                                    or (r_fr > 0.03) then 0 else 1 end as flag_lang,
+                             case when quality < 0.5 then 1 else 0 end as flag_quality
+                      from gates1),
+            g2 as (select doc_id, array_to_string(list_slice(tk, i, i + 1), ' ') as gram
+                   from base, unnest(range(1, len(tk))) as u(i)
+                   where len(tk) >= 2),
+            c2 as (select doc_id, gram, count(*) as cnt from g2 group by 1, 2),
+            top2 as (select * from (
+                        select doc_id, gram, cnt,
+                               row_number() over (partition by doc_id
+                                   order by cnt desc, gram asc) as rk
+                        from c2) where rk = 1),
+            tok as (select doc_id, norm_len, unnest(tk) as tok,
+                           unnest(range(len(tk))) as pos
+                    from base),
+            cm as (select doc_id, norm_len, tok, pos,
+                          sum(len(tok) + 1) over (partition by doc_id
+                              order by pos) as cum
+                   from tok),
+            o2 as (select * from (
+                      select doc_id, norm_len,
+                             concat_ws(' ', tok, lead(tok, 1) over w) as gram,
+                             cum - len(tok) - 1 as s,
+                             lead(cum, 1) over w - 2 as e
+                      from cm
+                      window w as (partition by doc_id order by pos))
+                   where e is not null),
+            d2 as (select * from (
+                      select o2.*, count(*) over (partition by doc_id, gram) as cnt
+                      from o2) where cnt > 1),
+            s2 as (select doc_id,
+                          greatest(0, e - greatest(s - 1,
+                              coalesce(max(e) over (partition by doc_id
+                                  order by s, e rows between unbounded preceding
+                                  and 1 preceding), -1))) as contrib
+                   from d2),
+            v2 as (select doc_id, sum(contrib) as dup_chars from s2 group by 1),
+            flag2 as (select b.doc_id,
+                             case when round(case when b.norm_len > 0
+                                        then coalesce(top2.cnt * len(top2.gram), 0)::double / b.norm_len
+                                        else 0.0 end, 6) > 0.25
+                                    or round(case when b.norm_len > 0
+                                        then coalesce(v2.dup_chars, 0)::double / b.norm_len
+                                        else 0.0 end, 6) > 0.35
+                                  then 1 else 0 end as flag_repetition
+                      from base b
+                      left join top2 on b.doc_id = top2.doc_id
+                      left join v2 on b.doc_id = v2.doc_id),
+            g8 as (select doc_id, i - 1 as pos,
+                          array_to_string(list_slice(tk, i, i + 7), ' ') as gh
+                   from base, unnest(range(1, len(tk) - 6)) as u(i)
+                   where len(tk) >= 8),
+            c8 as (select gh from g8 group by gh
+                   having count(distinct doc_id) >= 2),
+            dup8 as (select doc_id, pos as s, pos + 7 as e
+                     from g8 join c8 using (gh)),
+            swp8 as (select doc_id,
+                            greatest(0, e - greatest(s - 1,
+                                coalesce(max(e) over (partition by doc_id
+                                    order by s, e rows between unbounded preceding
+                                    and 1 preceding), -1))) as contrib
+                     from dup8),
+            cov8 as (select doc_id, sum(contrib) as dup_tokens from swp8 group by 1),
+            flag3 as (select b.doc_id,
+                             case when round(case when len(b.tk) > 0
+                                        then coalesce(cov8.dup_tokens, 0)::double / len(b.tk)
+                                        else 0.0 end, 6) >= 0.5
+                                  then 1 else 0 end as flag_dup
+                      from base b left join cov8 on b.doc_id = cov8.doc_id)
+            select f1.doc_id,
+                   cast(f1.flag_lang as int) as flag_lang,
+                   cast(f1.flag_quality as int) as flag_quality,
+                   cast(f2.flag_repetition as int) as flag_repetition,
+                   cast(f3.flag_dup as int) as flag_dup,
+                   cast(case when f1.flag_lang = 0 and f1.flag_quality = 0
+                              and f2.flag_repetition = 0 and f3.flag_dup = 0
+                        then 1 else 0 end as int) as keep
+            from flag1 f1
+            join flag2 f2 on f1.doc_id = f2.doc_id
+            join flag3 f3 on f1.doc_id = f3.doc_id
         """,
         "ego_graph_features": """
             with m as (
