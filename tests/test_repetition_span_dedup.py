@@ -245,6 +245,23 @@ def test_remove_spans_removal_consistent_with_detector(spark):
     assert rem[3].removed_tokens == det[3].dup_tokens == 8
 
 
+def test_remove_spans_then_detector_finds_nothing_on_exact_dups(spark):
+    """After removal, exact-duplicate docs no longer share any 8-gram
+    (the owner keeps the only surviving copy), so a second detector
+    pass over the cleaned corpus reports zero coverage."""
+    from whoiswho_spark.operators.span_dedup_remove import remove_duplicated_spans
+
+    docs = _docs(
+        spark,
+        [(1, SHARED + " x9"), (2, SHARED + " x9"), (3, SHARED + " x9")],
+    )
+    cleaned = remove_duplicated_spans(docs, n=8).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    again = crossdoc_duplicate_spans(cleaned, n=8)
+    assert again.agg(F.sum("dup_tokens")).collect()[0][0] == 0
+
+
 def test_remove_spans_guards(spark):
     import pytest as _pt
 
