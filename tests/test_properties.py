@@ -132,3 +132,50 @@ def test_cjk_pinyin_table_wellformed():
     for ch, py in CHAR_TO_PINYIN.items():
         assert len(ch) == 1 and "一" <= ch <= "鿿", ch
         assert syllable.match(py), (ch, py)
+
+
+# --- repetition / span-dedup kernels ------------------------------------------
+
+DOC_TOKENS = st.lists(
+    st.sampled_from(["aa", "b", "ccc", "dd", "e"]), min_size=0, max_size=30
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(DOC_TOKENS, min_size=1, max_size=8), st.integers(2, 4))
+def test_fused_gopher_equals_catalyst_property(spark, docs_tokens, n):
+    """The one-pass Arrow kernel and the explode+window formulation are
+    the same function — on arbitrary corpora, any n (tiny vocab forces
+    heavy repetition, short docs hit the < n edge)."""
+    from whoiswho_spark.functions.repetition import (
+        gopher_repetition_stats,
+        gopher_repetition_stats_fused,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kw = dict(top_ns=(n,), dup_ns=(n,))
+    fused = {r.doc_id: r.asDict() for r in gopher_repetition_stats_fused(df, **kw).collect()}
+    ref = {r.doc_id: r.asDict() for r in gopher_repetition_stats(df, **kw).collect()}
+    assert fused == ref
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(DOC_TOKENS, min_size=2, max_size=6))
+def test_crossdoc_coverage_bounds_property(spark, docs_tokens):
+    """Detector invariants on arbitrary corpora: coverage in [0,1],
+    dup_tokens <= n_tokens, and removal never keeps more than the
+    detector's complement allows (kept >= n_tokens - dup_tokens: owners
+    keep what non-owners lose)."""
+    from whoiswho_spark.operators.span_dedup import crossdoc_duplicate_spans
+    from whoiswho_spark.operators.span_dedup_remove import remove_duplicated_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    det = {r.doc_id: r for r in crossdoc_duplicate_spans(df, n=3).collect()}
+    rem = {r.doc_id: r for r in remove_duplicated_spans(df, n=3).collect()}
+    for k, r in det.items():
+        assert 0.0 <= r.dup_token_frac <= 1.0, r
+        assert 0 <= r.dup_tokens <= r.n_tokens, r
+        assert rem[k].kept_tokens >= r.n_tokens - r.dup_tokens, (r, rem[k])
+        assert rem[k].kept_tokens + rem[k].removed_tokens == r.n_tokens
