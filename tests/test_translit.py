@@ -79,6 +79,20 @@ def test_fold_conventions():
     assert ascii_fold("ב") == "ב"
 
 
+def test_hangul_arithmetic_decomposition():
+    # RR transliteration variant (letter-level): NFKD decomposes the
+    # syllable to conjoining jamo, the fold romanizes each arithmetically
+    assert ascii_fold("김정은") == "gimjeongeun"
+    assert ascii_fold("서울") == "seoul"
+    assert ascii_fold("박") == "bag"  # letter-level: final ㄱ = g, not coda k
+    assert ascii_fold("밟") == "balb"  # cluster coda ㄼ = lb
+    assert ascii_fold("한글 Name") == "hangeul Name"
+    # compatibility jamo NFKD-route through the same tables
+    assert ascii_fold("ㄱ") == "g"
+    assert tokenize_name("문재인") == "munjaein"
+    assert names_match(clean_name("문재인"), clean_name("munjaein"))
+
+
 def test_table_is_ascii_valued_and_nonascii_keyed():
     for k, v in TRANSLIT.items():
         assert len(k) == 1 and ord(k) >= 128, k

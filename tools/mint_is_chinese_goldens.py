@@ -129,6 +129,8 @@ TRANSLIT_BATTERY = [
     "Björn Þórsson", "Ðorđe Æbelø", "Jürgen Straßmann",
     # mixed-script: ASCII plane > 3 chars wins the en_name branch
     "Ivan Петров", "Anna Καραμανλή",
+    # Hangul (arithmetic jamo decomposition, RR transliteration variant)
+    "김정은", "박찬욱", "문재인", "김 민수", "이서연 Lee",
 ]
 
 
@@ -224,6 +226,8 @@ def main() -> None:
         ("Jurgen Strassmann", "Jürgen Straßmann"),
         ("Иван Петров", "Дмитрий Жуков"),
         ("Θεόδωρος Κολοκοτρώνης", "Γιώργος Παπαδόπουλος"),
+        ("문재인", "munjaein"),
+        ("김정은", "박찬욱"),
     ]
     translit_pairs = [
         [a, b, *battery(tok.tokenize_name(a), tok.tokenize_name(b))]

@@ -11,7 +11,10 @@ that package is absent here, so the fold is:
    Cyrillic (Russian core + Ukrainian/Belarusian/Serbian extras),
    Greek, and the Latin-extended letters with no decomposition
    (ß→ss, ø→o, ł→l, æ→ae, đ→d, þ→th, ...);
-3. pass anything still unmapped through unchanged — an honest unknown
+3. romanize Hangul jamo arithmetically (NFKD already decomposed any
+   precomposed syllable) with the Revised Romanization transliteration
+   variant — letter-level, no phonological assimilation;
+4. pass anything still unmapped through unchanged — an honest unknown
    that can only produce a conservative non-match, never a wrong
    romanization (the pinyin-table rule).
 
@@ -61,16 +64,39 @@ def _load_table() -> dict[str, str]:
 
 TRANSLIT = _load_table()
 
+# Hangul needs no vendored table: NFKD canonically decomposes every
+# precomposed syllable (U+AC00..) into conjoining jamo (U+1100 block,
+# Unicode ch. 3.12), and compatibility jamo (U+3131..) NFKD-map there
+# too — so the fold only has to romanize the three jamo ranges
+# arithmetically. The values are the Revised Romanization
+# TRANSLITERATION variant (letter-level, no phonological assimilation:
+# 박 → bag, 김정은 → gimjeongeun) — the documented-standard analog of
+# the letter-level Cyrillic/Greek tables.
+_HANGUL_L = ["g", "kk", "n", "d", "tt", "r", "m", "b", "pp", "s", "ss", "",
+             "j", "jj", "ch", "k", "t", "p", "h"]          # U+1100..U+1112
+_HANGUL_V = ["a", "ae", "ya", "yae", "eo", "e", "yeo", "ye", "o", "wa", "wae",
+             "oe", "yo", "u", "wo", "we", "wi", "yu", "eu", "ui", "i"]  # U+1161..U+1175
+_HANGUL_T = ["g", "kk", "gs", "n", "nj", "nh", "d", "l", "lg", "lm", "lb",
+             "ls", "lt", "lp", "lh", "m", "b", "bs", "s", "ss", "ng", "j",
+             "ch", "k", "t", "p", "h"]                     # U+11A8..U+11C2
+
 
 def ascii_fold(s: str) -> str:
-    """NFKD → strip combining marks → vendored transliteration →
-    pass-through for unknowns (see module docstring)."""
+    """NFKD → strip combining marks → vendored transliteration (+
+    arithmetic Hangul jamo romanization) → pass-through for unknowns
+    (see module docstring)."""
     out = []
     for ch in unicodedata.normalize("NFKD", s):
         if unicodedata.combining(ch):
             continue
         if ch < "\x80":
             out.append(ch)
+        elif "ᄀ" <= ch <= "ᄒ":
+            out.append(_HANGUL_L[ord(ch) - 0x1100])
+        elif "ᅡ" <= ch <= "ᅵ":
+            out.append(_HANGUL_V[ord(ch) - 0x1161])
+        elif "ᆨ" <= ch <= "ᇂ":
+            out.append(_HANGUL_T[ord(ch) - 0x11A8])
         else:
             out.append(TRANSLIT.get(ch, ch))
     return "".join(out)
