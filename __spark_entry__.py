@@ -1024,6 +1024,37 @@ def _q_quality_filter(spark, sf):
     return quality_filter_flags(_t(spark, sf, "documents"), lang_threshold=0.03)
 
 
+def _q_url_canonical(spark, sf):
+    """URL canonicalization (functions/urlnorm.py — RFC 3986 §6
+    syntax normalization + crawl conventions: case-fold scheme/host,
+    www/default-port strip, fragment drop, tracking-param drop + query
+    sort, trailing-slash fold). Input URLs are synthesized
+    deterministically from (doc_id, source) with every messiness the
+    rules handle; both engines build the same string, then canonicalize
+    with their own regex/array pipelines. Map-only: zero shuffle."""
+    from whoiswho_spark.functions.urlnorm import canonical_url_col
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 3 == 0, F.lit("HTTP://WWW.")).otherwise(F.lit("http://")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(d % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        d.cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("?utm_source=x&b=2&a=1")).otherwise(
+            F.lit("?b=2&a=1&ref=t")
+        ),
+        F.when(d % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", url.alias("url"))
+        .select("doc_id", "url", canonical_url_col(F.col("url")).alias("canon_url"))
+    )
+
+
 def _q_gbdt_scores(spark, sf):
     """GBDT ensemble scorer (§2.9): numpy histogram-boosted trees fit on
     a bounded deterministic sample, INFERENCE COMPILED TO A CATALYST
@@ -1178,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossdoc_span_dedup": _q_crossdoc_span_dedup,
         "crossdoc_span_removed": _q_crossdoc_span_removed,
         "quality_filter": _q_quality_filter,
+        "url_canonical": _q_url_canonical,
     }
 
 
@@ -2327,6 +2359,60 @@ def oracle_sql() -> dict[str, str]:
             from flag1 f1
             join flag2 f2 on f1.doc_id = f2.doc_id
             join flag3 f3 on f1.doc_id = f3.doc_id
+        """,
+        # url_canonical: same synthesized messy URL, canonicalized with
+        # DuckDB's own regex/list pipeline (RE2; \\1 backrefs; list_sort
+        # byte-ascending matches array_sort on ASCII).
+        "url_canonical": r"""
+            with u as (
+                select doc_id,
+                       (case when doc_id % 3 = 0 then 'HTTP://WWW.'
+                             else 'http://' end)
+                       || source || '.Example.COM'
+                       || (case when doc_id % 4 = 0 then ':80' else '' end)
+                       || '/Docs/' || cast(doc_id as varchar)
+                       || (case when doc_id % 5 = 0 then '/' else '' end)
+                       || (case when doc_id % 2 = 0 then '?utm_source=x&b=2&a=1'
+                                else '?b=2&a=1&ref=t' end)
+                       || (case when doc_id % 7 = 0 then '#sec' else '' end)
+                       as url
+                from documents),
+            p as (select doc_id, url,
+                         lower(regexp_extract(url,
+                             '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) as scheme,
+                         lower(regexp_extract(url,
+                             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) as hostport,
+                         regexp_extract(url,
+                             '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) as rest
+                  from u),
+            q as (select *,
+                         regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                                        '^www\.', '') as host,
+                         regexp_extract(hostport, ':([0-9]+)$', 1) as port,
+                         regexp_extract(rest, '^([^?]*)', 1) as path0,
+                         regexp_extract(rest, '^[^?]*\?([^#]*)', 1) as query
+                  from p),
+            r as (select *,
+                         case when path0 = '' then '/'
+                              else regexp_replace(path0, '(.)/$', '\1') end as path,
+                         list_sort(list_filter(string_split(query, '&'),
+                             x -> len(x) > 0 and not regexp_matches(x,
+                                 '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)=')))
+                             as params
+                  from q)
+            select doc_id, url,
+                   case when scheme = '' then url else
+                        scheme || '://' || host
+                        || (case when port != ''
+                                  and not (scheme = 'http' and port = '80')
+                                  and not (scheme = 'https' and port = '443')
+                             then ':' || port else '' end)
+                        || path
+                        || (case when len(params) > 0
+                             then '?' || array_to_string(params, '&')
+                             else '' end)
+                   end as canon_url
+            from r
         """,
         "ego_graph_features": """
             with m as (
