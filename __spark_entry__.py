@@ -1055,6 +1055,42 @@ def _q_url_canonical(spark, sf):
     )
 
 
+def _q_bpe_pair_counts(spark, sf):
+    """BPE training's per-iteration core (operators/bpe.py): adjacent
+    symbol-pair totals over the word-frequency table (chars + the
+    trailing </w> end-of-word symbol) — the statistic every merge
+    iteration aggregates. Fully SQL-expressible, so this one carries
+    the oracle for the trainer's counting kernel."""
+    from whoiswho_spark.operators.bpe import END, _adjacent_pairs, word_count_table
+
+    wc = word_count_table(_t(spark, sf, "documents")).select(
+        "count",
+        F.concat(
+            F.split(F.col("word"), "").cast("array<string>"),
+            F.array(F.lit(END)),
+        ).alias("syms"),
+    )
+    pair_col, cnt = _adjacent_pairs(F.col("syms"), F.col("count"))
+    return (
+        wc.select(pair_col, cnt)
+        .groupBy(F.col("_pair.a").alias("a"), F.col("_pair.b").alias("b"))
+        .agg(F.sum("count").cast("bigint").alias("n"))
+    )
+
+
+def _q_bpe_merges(spark, sf):
+    """Full BPE training (operators/bpe.py fit_bpe): 30 merges over the
+    documents word table, deterministic tie-breaks. ROWS-ONLY by
+    design: the merge sequence is a data-DEPENDENT iteration (each
+    step's argmax feeds the next rewrite), which no static SQL can
+    replay; exact-parity vs the pure-Python reference trainer is
+    pytest-gated (tests/test_bpe.py), and the per-iteration counting
+    core is oracle-checked by bpe_pair_counts."""
+    from whoiswho_spark.operators.bpe import bpe_merges_df
+
+    return bpe_merges_df(_t(spark, sf, "documents"), num_merges=30)
+
+
 def _q_gbdt_scores(spark, sf):
     """GBDT ensemble scorer (§2.9): numpy histogram-boosted trees fit on
     a bounded deterministic sample, INFERENCE COMPILED TO A CATALYST
@@ -1210,6 +1246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossdoc_span_removed": _q_crossdoc_span_removed,
         "quality_filter": _q_quality_filter,
         "url_canonical": _q_url_canonical,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        # bpe_merges: rows-only (no oracle_sql entry) — data-dependent
+        # iterative trainer; see the query docstring for the gate story
+        "bpe_merges": _q_bpe_merges,
     }
 
 
@@ -2413,6 +2453,22 @@ def oracle_sql() -> dict[str, str]:
                              else '' end)
                    end as canon_url
             from r
+        """,
+        # bpe_pair_counts: chars via regexp_extract_all('.') (RE2 '.'
+        # excludes newlines; the corpus words are newline-free), </w>
+        # appended, adjacent pairs by 1-based list indexing.
+        "bpe_pair_counts": f"""
+            with w as (
+                select word, count(*) as c
+                from (select unnest({toks}) as word from documents)
+                group by 1),
+            s as (select c,
+                         list_append(regexp_extract_all(word, '.'), '</w>') as syms
+                  from w),
+            p as (select syms[i] as a, syms[i + 1] as b, c
+                  from s, unnest(range(1, len(syms))) as u(i))
+            select a, b, cast(sum(c) as bigint) as n
+            from p group by 1, 2
         """,
         "ego_graph_features": """
             with m as (
