@@ -1091,6 +1091,34 @@ def _q_bpe_merges(spark, sf):
     return bpe_merges_df(_t(spark, sf, "documents"), num_merges=30)
 
 
+def _q_user_sessions(spark, sf):
+    """Gap-based sessionization (§2.11 extension) — the STREAMING
+    operator streaming/events.user_sessions run verbatim in batch mode
+    (withWatermark is a no-op on batch), so the session-window
+    semantics get a SQL oracle: the DuckDB side derives sessions with
+    the lag/cumsum idiom using the empirically-pinned boundary rule
+    (Spark merges at exactly-gap: new session iff diff > gap; end =
+    last ts + gap). Values pre-cast to decimal so per-session sums are
+    order-exact in both engines."""
+    from whoiswho_spark.streaming.events import user_sessions
+
+    ev = _t(spark, sf, "events").withColumn(
+        "value", F.round(F.col("value"), 4).cast("decimal(18,4)")
+    )
+    s = user_sessions(ev, gap="30 minutes")
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("session_value").cast("double").alias("session_value"),
+    )
+
+
 def _q_gbdt_scores(spark, sf):
     """GBDT ensemble scorer (§2.9): numpy histogram-boosted trees fit on
     a bounded deterministic sample, INFERENCE COMPILED TO A CATALYST
@@ -1250,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bpe_merges: rows-only (no oracle_sql entry) — data-dependent
         # iterative trainer; see the query docstring for the gate story
         "bpe_merges": _q_bpe_merges,
+        "user_sessions": _q_user_sessions,
     }
 
 
@@ -2453,6 +2482,29 @@ def oracle_sql() -> dict[str, str]:
                              else '' end)
                    end as canon_url
             from r
+        """,
+        # user_sessions: lag/cumsum sessionization with the pinned
+        # boundary (merge at exactly-gap -> new session iff diff > 30m);
+        # end = last ts + gap; decimal value sums are order-exact.
+        "user_sessions": """
+            with e as (select user_id, ts,
+                              cast(round(value, 4) as decimal(18,4)) as v
+                       from events),
+            x as (select user_id, ts, v,
+                         case when lag(ts) over w is null
+                               or ts - lag(ts) over w > interval 30 minute
+                              then 1 else 0 end as ns
+                  from e window w as (partition by user_id order by ts)),
+            s as (select *, sum(ns) over (partition by user_id order by ts
+                         rows unbounded preceding) as sid
+                  from x)
+            select user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') as session_start,
+                   strftime(max(ts) + interval 30 minute,
+                            '%Y-%m-%d %H:%M:%S.%f') as session_end,
+                   cast(count(*) as bigint) as n_events,
+                   cast(sum(v) as double) as session_value
+            from s group by user_id, sid
         """,
         # bpe_pair_counts: chars via regexp_extract_all('.') (RE2 '.'
         # excludes newlines; the corpus words are newline-free), </w>
