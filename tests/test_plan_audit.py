@@ -57,6 +57,11 @@ def test_no_cartesian_products_in_headline_plans(spark):
         "name_match_pairs",
         "gopher_repetition",
         "crossdoc_span_dedup",
+        "crossdoc_span_removed",
+        "quality_filter",
+        "url_canonical",
+        "user_sessions",
+        "bpe_pair_counts",
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
