@@ -1,0 +1,752 @@
+"""Round-6 optimization measurement harness (bench.py is FROZEN — this
+file carries the extra evidence runs: per-stage isolation via the noop
+sink, variant A/B timing inside ONE JVM, and .explain("formatted") dumps
+for plans/r06/).
+
+Usage:
+    python bench_extra.py er [sf_dir]        # er pipeline stage breakdown
+    python bench_extra.py jaccard [sf_dir]   # memo-UDF vs Catalyst verify A/B
+    python bench_extra.py queries name [name...]  # noop-timed declared queries
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def get_spark():
+    import json
+
+    from whoiswho_spark.session import get_spark as gs
+
+    extra = json.loads(os.environ.get("BENCH_EXTRA_CONF", "{}")) or None
+    return gs(
+        app_name="bench_extra",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf=extra,
+    )
+
+
+def timed(label, fn, reps=2):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.monotonic()
+        fn()
+        best = min(best, time.monotonic() - t0)
+    print(f"{label}: {best:.3f}s")
+    return best
+
+
+def er_parts(spark, sf_dir):
+    """Stage isolation of bench.py's _er_pipeline_bench (same code shape)."""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.blocking import minhash_signature_cols
+    from whoiswho_spark.operators.clustering import connected_components
+    from whoiswho_spark.operators.dedup import _jaccard_sets_memo_udf, tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        "source",
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    )
+    sig = minhash_signature_cols(F.col("toks"), 4)
+    blocks = base.select(
+        "url",
+        F.concat_ws(
+            "|",
+            F.col("source"),
+            F.substring(
+                F.md5(F.concat_ws("_", *[s.cast("string") for s in sig[:2]])), 1, 16
+            ),
+        ).alias("block_key"),
+        F.col("toks"),
+    )
+    a = blocks.select("block_key", F.col("url").alias("url_a"), F.col("toks").alias("toks_a"))
+    b = blocks.select("block_key", F.col("url").alias("url_b"), F.col("toks").alias("toks_b"))
+    jac = _jaccard_sets_memo_udf()
+    pairs = (
+        a.join(b, "block_key")
+        .where(F.col("url_a") < F.col("url_b"))
+        .select(
+            "url_a",
+            "url_b",
+            jac(F.col("url_a"), F.col("toks_a"), F.col("url_b"), F.col("toks_b")).alias(
+                "score"
+            ),
+        )
+    )
+    spark.sparkContext.setJobDescription("er: blocks only")
+    timed("er/blocks_noop", lambda: noop(blocks), reps=2)
+    spark.sparkContext.setJobDescription("er: join no score")
+    nojac = (
+        a.join(b, "block_key")
+        .where(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b")
+    )
+    timed("er/join_pairs_no_score", lambda: noop(nojac), reps=1)
+    spark.sparkContext.setJobDescription("er: pairs scored (current memo UDF)")
+    timed("er/pairs_scored_noop", lambda: noop(pairs), reps=1)
+    spark.sparkContext.setJobDescription("er: full (persist+count+cc)")
+
+    def full():
+        p = pairs.persist()
+        n = p.count()
+        edges = p.where(F.col("score") >= 0.5).select(
+            F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+        )
+        clusters = connected_components(edges, vertices=blocks.select("url").distinct())
+        noop(clusters)
+        p.unpersist()
+        print("  n_pairs:", n)
+
+    timed("er/full", full, reps=1)
+    spark.sparkContext.setJobDescription(None)
+
+
+def jaccard_ab(spark, sf_dir):
+    """A/B: pairs scored via memo pandas UDF vs Catalyst array_intersect,
+    same join, same JVM, interleaved. Also asserts bit-identical scores."""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.blocking import minhash_signature_cols
+    from whoiswho_spark.operators.dedup import (
+        _jaccard_sets_memo_pandas_udf,
+        _jaccard_sets_memo_udf,
+        tokens_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        "source",
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    )
+    sig = minhash_signature_cols(F.col("toks"), 4)
+    blocks = base.select(
+        "url",
+        F.concat_ws(
+            "|",
+            F.col("source"),
+            F.substring(
+                F.md5(F.concat_ws("_", *[s.cast("string") for s in sig[:2]])), 1, 16
+            ),
+        ).alias("block_key"),
+        F.col("toks"),
+    )
+    a = blocks.select("block_key", F.col("url").alias("url_a"), F.col("toks").alias("toks_a"))
+    b = blocks.select("block_key", F.col("url").alias("url_b"), F.col("toks").alias("toks_b"))
+    joined = a.join(b, "block_key").where(F.col("url_a") < F.col("url_b"))
+
+    jac_udf = _jaccard_sets_memo_pandas_udf()
+    udf_pairs = joined.select(
+        "url_a", "url_b",
+        jac_udf(F.col("url_a"), F.col("toks_a"), F.col("url_b"), F.col("toks_b")).alias("score"),
+    )
+    jac_cat = _jaccard_sets_memo_udf()
+    cat_pairs = joined.select(
+        "url_a", "url_b",
+        jac_cat(F.col("url_a"), F.col("toks_a"), F.col("url_b"), F.col("toks_b")).alias("score"),
+    )
+    jac_reps = int(os.environ.get("JAC_REPS", "2"))
+    run_udf = os.environ.get("JAC_SKIP_UDF", "") != "1"
+    for rep in range(jac_reps):
+        if run_udf:
+            spark.sparkContext.setJobDescription("jac A: memo UDF")
+            timed(f"jac/memo_udf[{rep}]", lambda: noop(udf_pairs), reps=1)
+        spark.sparkContext.setJobDescription("jac B: catalyst")
+        timed(f"jac/catalyst[{rep}]", lambda: noop(cat_pairs), reps=1)
+    spark.sparkContext.setJobDescription("jac: bit-parity check")
+    diff = (
+        udf_pairs.alias("u")
+        .join(
+            cat_pairs.alias("c"),
+            (F.col("u.url_a") == F.col("c.url_a")) & (F.col("u.url_b") == F.col("c.url_b")),
+        )
+        .where(F.col("u.score").cast("string") != F.col("c.score").cast("string"))
+        .count()
+    )
+    print("bitwise-mismatched scores:", diff)
+    spark.sparkContext.setJobDescription(None)
+
+
+def jaccard_micro(spark, sf_dir):
+    """Isolate the pair-scoring kernel cost at scale: transfer floor,
+    raw JVM intersect, let-bound expression, bitmask-memo pandas kernel."""
+    import pandas as pd
+    import numpy as np
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from whoiswho_spark.operators.blocking import minhash_signature_cols
+    from whoiswho_spark.operators.dedup import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        "source",
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    )
+    sig = minhash_signature_cols(F.col("toks"), 4)
+    blocks = base.select(
+        "url",
+        F.concat_ws(
+            "|",
+            F.col("source"),
+            F.substring(
+                F.md5(F.concat_ws("_", *[s.cast("string") for s in sig[:2]])), 1, 16
+            ),
+        ).alias("block_key"),
+        F.col("toks"),
+    )
+    a = blocks.select("block_key", F.col("url").alias("url_a"), F.col("toks").alias("toks_a"))
+    b = blocks.select("block_key", F.col("url").alias("url_b"), F.col("toks").alias("toks_b"))
+    joined = a.join(b, "block_key").where(F.col("url_a") < F.col("url_b"))
+
+    def zero(ida, x, idb, y):
+        return pd.Series(np.zeros(len(x)))
+
+    zero.__annotations__ = {
+        "ida": pd.Series, "x": pd.Series, "idb": pd.Series, "y": pd.Series,
+        "return": pd.Series,
+    }
+    zero_udf = pandas_udf(zero, DoubleType())
+
+    def bitmask(ida, x, idb, y):
+        # per-batch dictionary-encode tokens -> bit positions; per-doc
+        # arbitrary-precision int masks memoized by id; per pair one
+        # AND + popcount.
+        codes: dict = {}
+        masks: dict = {}
+        out = np.zeros(len(x))
+
+        def mask_of(i, arr):
+            m = masks.get(i)
+            if m is None:
+                m = 0
+                for t in arr:
+                    c = codes.get(t)
+                    if c is None:
+                        c = len(codes)
+                        codes[t] = c
+                    m |= 1 << c
+                masks[i] = m
+            return m
+
+        xa, ya, ia, ib = x.values, y.values, ida.values, idb.values
+        for i in range(len(out)):
+            ma = mask_of(ia[i], xa[i])
+            mb = mask_of(ib[i], ya[i])
+            inter = (ma & mb).bit_count()
+            u = ma.bit_count() + mb.bit_count() - inter
+            out[i] = inter / u if u else 0.0
+        return pd.Series(out)
+
+    bitmask.__annotations__ = zero.__annotations__
+    bitmask_udf = pandas_udf(bitmask, DoubleType())
+
+    inter_raw = F.size(F.array_intersect("toks_a", "toks_b"))
+    let_bound = F.get(
+        F.transform(
+            F.array(F.size(F.array_intersect("toks_a", "toks_b"))),
+            lambda i: F.when(
+                F.size("toks_a") + F.size("toks_b") - i > 0,
+                i / (F.size("toks_a") + F.size("toks_b") - i),
+            ).otherwise(F.lit(0.0)),
+        ),
+        0,
+    )
+    variants = {
+        "zero_kernel(transfer floor)": joined.select(
+            "url_a", "url_b",
+            zero_udf(F.col("url_a"), F.col("toks_a"), F.col("url_b"), F.col("toks_b")).alias("score"),
+        ),
+        "raw_intersect_size": joined.select(
+            "url_a", "url_b", inter_raw.cast("double").alias("score")
+        ),
+        "let_bound_expr": joined.select("url_a", "url_b", let_bound.alias("score")),
+        "bitmask_memo": joined.select(
+            "url_a", "url_b",
+            bitmask_udf(F.col("url_a"), F.col("toks_a"), F.col("url_b"), F.col("toks_b")).alias("score"),
+        ),
+    }
+    order = os.environ.get("JACMICRO", "zero_kernel(transfer floor),raw_intersect_size,let_bound_expr,bitmask_memo")
+    for name in order.split(","):
+        df = variants[name.strip()]
+        spark.sparkContext.setJobDescription(f"jacmicro: {name}")
+        timed(f"jacmicro/{name}", lambda d=df: noop(d), reps=1)
+    spark.sparkContext.setJobDescription(None)
+
+
+def jaccard_diag(spark, sf_dir):
+    """Where does the per-pair cost come from: the intersect itself, or
+    per-pair re-evaluation of the (CodegenFallback) token-array
+    expressions inside the join stage?"""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.blocking import minhash_signature_cols
+    from whoiswho_spark.operators.dedup import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        "source",
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    )
+    sig = minhash_signature_cols(F.col("toks"), 4)
+    blocks = base.select(
+        "url",
+        F.concat_ws(
+            "|",
+            F.col("source"),
+            F.substring(
+                F.md5(F.concat_ws("_", *[s.cast("string") for s in sig[:2]])), 1, 16
+            ),
+        ).alias("block_key"),
+        F.col("toks"),
+    )
+
+    def joined_from(bl):
+        a = bl.select("block_key", F.col("url").alias("url_a"), F.col("toks").alias("toks_a"))
+        b = bl.select("block_key", F.col("url").alias("url_b"), F.col("toks").alias("toks_b"))
+        return a.join(b, "block_key").where(F.col("url_a") < F.col("url_b"))
+
+    sizes = (F.size("toks_a") + F.size("toks_b")).cast("double")
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+
+    lazy = joined_from(blocks)
+    spark.sparkContext.setJobDescription("jacdiag: sizes only, lazy blocks")
+    timed("jacdiag/sizes_lazy", lambda: noop(lazy.select("url_a", "url_b", sizes.alias("s"))), reps=1)
+
+    ckpt = joined_from(blocks.localCheckpoint())
+    spark.sparkContext.setJobDescription("jacdiag: sizes only, ckpt blocks")
+    timed("jacdiag/sizes_ckpt", lambda: noop(ckpt.select("url_a", "url_b", sizes.alias("s"))), reps=1)
+    spark.sparkContext.setJobDescription("jacdiag: intersect, ckpt blocks")
+    timed("jacdiag/intersect_ckpt", lambda: noop(ckpt.select("url_a", "url_b", inter.alias("s"))), reps=1)
+
+    out = lazy.select("url_a", "url_b", inter.alias("s"))
+    with open("/tmp/jacdiag_lazy_intersect_plan.txt", "w") as fh:
+        fh.write(out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"))
+    spark.sparkContext.setJobDescription(None)
+
+
+def er_score_only(spark, sf_dir):
+    """pairs_scored + full er with the CURRENT library jac — for conf A/Bs."""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.blocking import minhash_signature_cols
+    from whoiswho_spark.operators.clustering import connected_components
+    from whoiswho_spark.operators.dedup import _jaccard_sets_memo_udf, tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        "source",
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    )
+    sig = minhash_signature_cols(F.col("toks"), 4)
+    blocks = base.select(
+        "url",
+        F.concat_ws(
+            "|",
+            F.col("source"),
+            F.substring(
+                F.md5(F.concat_ws("_", *[s.cast("string") for s in sig[:2]])), 1, 16
+            ),
+        ).alias("block_key"),
+        F.col("toks"),
+    )
+    a = blocks.select("block_key", F.col("url").alias("url_a"), F.col("toks").alias("toks_a"))
+    b = blocks.select("block_key", F.col("url").alias("url_b"), F.col("toks").alias("toks_b"))
+    jac = _jaccard_sets_memo_udf()
+    pairs = (
+        a.join(b, "block_key")
+        .where(F.col("url_a") < F.col("url_b"))
+        .select(
+            "url_a", "url_b",
+            jac(F.col("url_a"), F.col("toks_a"), F.col("url_b"), F.col("toks_b")).alias("score"),
+        )
+    )
+    spark.sparkContext.setJobDescription("erscore: pairs scored")
+    timed("erscore/pairs_scored_noop", lambda: noop(pairs), reps=1)
+
+    def full():
+        p = pairs.persist()
+        n = p.count()
+        edges = p.where(F.col("score") >= 0.5).select(
+            F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+        )
+        clusters = connected_components(edges, vertices=blocks.select("url").distinct())
+        noop(clusters)
+        p.unpersist()
+        print("  n_pairs:", n)
+
+    spark.sparkContext.setJobDescription("erscore: full")
+    timed("erscore/full", full, reps=1)
+    spark.sparkContext.setJobDescription(None)
+
+
+def jaccard_diag2(spark, sf_dir):
+    """Hashed-primitive intersect variants."""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.blocking import minhash_signature_cols
+    from whoiswho_spark.operators.dedup import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        "source",
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    )
+    sig = minhash_signature_cols(F.col("toks"), 4)
+    blocks = base.select(
+        "url",
+        F.concat_ws(
+            "|",
+            F.col("source"),
+            F.substring(
+                F.md5(F.concat_ws("_", *[s.cast("string") for s in sig[:2]])), 1, 16
+            ),
+        ).alias("block_key"),
+        F.col("toks"),
+    )
+
+    def joined_from(bl):
+        a = bl.select("block_key", F.col("url").alias("url_a"), F.col("toks").alias("toks_a"))
+        b = bl.select("block_key", F.col("url").alias("url_b"), F.col("toks").alias("toks_b"))
+        return a.join(b, "block_key").where(F.col("url_a") < F.col("url_b"))
+
+    def hashed_jac(x, y):
+        xh = F.transform(x, lambda t: F.xxhash64(t))
+        yh = F.transform(y, lambda t: F.xxhash64(t))
+        return F.get(
+            F.transform(
+                F.array(F.size(F.array_intersect(xh, yh))),
+                lambda i: F.when(
+                    F.size(x) + F.size(y) - i > 0,
+                    i / (F.size(x) + F.size(y) - i),
+                ).otherwise(F.lit(0.0)),
+            ),
+            0,
+        )
+
+    lazy = joined_from(blocks)
+    ckpt = joined_from(blocks.localCheckpoint())
+    spark.sparkContext.setJobDescription("jacdiag2: hashed intersect, ckpt blocks")
+    timed(
+        "jacdiag2/hashed_ckpt",
+        lambda: noop(ckpt.select("url_a", "url_b", hashed_jac(F.col("toks_a"), F.col("toks_b")).alias("s"))),
+        reps=1,
+    )
+    spark.sparkContext.setJobDescription("jacdiag2: hashed intersect, lazy blocks")
+    timed(
+        "jacdiag2/hashed_lazy",
+        lambda: noop(lazy.select("url_a", "url_b", hashed_jac(F.col("toks_a"), F.col("toks_b")).alias("s"))),
+        reps=1,
+    )
+    spark.sparkContext.setJobDescription(None)
+
+
+def minhash_parts(spark, sf_dir):
+    """Stage isolation of minhash_dup_pairs (the declared query)."""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.blocking import minhash_signature_cols
+    from whoiswho_spark.operators.dedup import (
+        _distinct_tokens_first,
+        band_bucket_cols,
+        minhash_dup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = _distinct_tokens_first(docs, "text", "doc_id")
+    sig = minhash_signature_cols(F.col("_toks"), 4)
+    buckets = band_bucket_cols(sig, 2)
+    wide = base.select(
+        F.col("doc_id"), *[c.alias(f"_bk{b}") for b, c in enumerate(buckets)]
+    )
+    spark.sparkContext.setJobDescription("minhash: wide signature table")
+    timed("minhash/wide_noop", lambda: noop(wide), reps=2)
+    spark.sparkContext.setJobDescription("minhash: full query")
+    timed("minhash/full", lambda: noop(minhash_dup_pairs(docs)), reps=1)
+    spark.sparkContext.setJobDescription(None)
+
+
+def ngram_parts(spark, sf_dir):
+    """Stage isolation of ngram_jaccard_pairs_prefix (the declared query)."""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.dedup import (
+        _dense_token_ranks,
+        ngram_jaccard_pairs_prefix,
+        tokens_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        F.col("source").alias("block"),
+        F.col("doc_id"),
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    ).withColumn("sz", F.size("toks"))
+    df_tbl = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("_df"))
+    )
+    ranks = _dense_token_ranks(df_tbl)
+    ti = (
+        t.select("block", "doc_id", "sz", F.explode("toks").alias("tok"))
+        .join(ranks, "tok")
+        .groupBy("block", "doc_id", "sz")
+        .agg(F.sort_array(F.collect_list("rk")).alias("rks"))
+    )
+    spark.sparkContext.setJobDescription("ngram: ti build")
+    timed("ngram/ti_noop", lambda: noop(ti), reps=2)
+
+    ti_c = ti.localCheckpoint()
+    threshold = 0.5
+
+    def _plen(frac):
+        return F.greatest(
+            F.lit(1),
+            (F.col("sz") - F.ceil(F.round(F.lit(frac) * F.col("sz"), 9)) + 1).cast(
+                "int"
+            ),
+        )
+
+    idx_frac = 2.0 * threshold / (1.0 + threshold)
+    a = ti_c.select(
+        "block",
+        F.col("doc_id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.explode(F.slice("rks", 1, _plen(idx_frac))).alias("tok"),
+    )
+    b = ti_c.select(
+        "block",
+        F.col("doc_id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.explode(F.slice("rks", 1, _plen(threshold))).alias("tok"),
+    )
+    meets = a.join(b, ["block", "tok"]).where(
+        (
+            (F.col("sz_a") < F.col("sz_b"))
+            | ((F.col("sz_a") == F.col("sz_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        & (F.col("sz_a") >= F.lit(float(threshold)) * F.col("sz_b"))
+    )
+    spark.sparkContext.setJobDescription("ngram: meets only (no distinct)")
+    timed(
+        "ngram/meets_noop",
+        lambda: noop(meets.select("id_a", "id_b")),
+        reps=1,
+    )
+    cands = meets.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    ).distinct()
+    spark.sparkContext.setJobDescription("ngram: cands (meets+distinct)")
+    timed("ngram/cands_noop", lambda: noop(cands), reps=1)
+
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cands_rp = (
+        meets.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .repartition(nparts, "id_a", "id_b")
+        .distinct()
+    )
+    spark.sparkContext.setJobDescription("ngram: cands repartition+distinct")
+    timed("ngram/cands_repart_noop", lambda: noop(cands_rp), reps=1)
+
+    # positional-filter variant: prune meet rows whose matched positions
+    # already prove the overlap bound unreachable (first-common rows
+    # always survive, so the distinct result is identical)
+    ap = ti_c.select(
+        "block",
+        F.col("doc_id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.posexplode(F.slice("rks", 1, _plen(idx_frac))).alias("pa", "tok"),
+    )
+    bp = ti_c.select(
+        "block",
+        F.col("doc_id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.posexplode(F.slice("rks", 1, _plen(threshold))).alias("pb", "tok"),
+    )
+    o_min = F.ceil(
+        F.round(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("sz_a") + F.col("sz_b")),
+            9,
+        )
+    )
+    meets_pf = (
+        ap.join(bp, ["block", "tok"])
+        .where(
+            (
+                (F.col("sz_a") < F.col("sz_b"))
+                | ((F.col("sz_a") == F.col("sz_b")) & (F.col("id_a") < F.col("id_b")))
+            )
+            & (F.col("sz_a") >= F.lit(float(threshold)) * F.col("sz_b"))
+            & (
+                1
+                + F.least(
+                    F.col("sz_a") - (F.col("pa") + 1), F.col("sz_b") - (F.col("pb") + 1)
+                )
+                >= o_min
+            )
+        )
+    )
+    spark.sparkContext.setJobDescription("ngram: meets posfilter count")
+    timed(
+        "ngram/meets_posfilter_noop",
+        lambda: noop(meets_pf.select("id_a", "id_b")),
+        reps=1,
+    )
+    cands_pf = (
+        meets_pf.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .repartition(nparts, "id_a", "id_b")
+        .distinct()
+    )
+    spark.sparkContext.setJobDescription("ngram: cands posfilter+repart+distinct")
+    timed("ngram/cands_posfilter_noop", lambda: noop(cands_pf), reps=1)
+    same = cands_pf.count() == cands.count() and cands_pf.exceptAll(cands).count() == 0
+    print("  posfilter candidate set identical:", same)
+    spark.sparkContext.setJobDescription("ngram: full query")
+    timed(
+        "ngram/full",
+        lambda: noop(
+            ngram_jaccard_pairs_prefix(docs, block_col="source")
+        ),
+        reps=1,
+    )
+    spark.sparkContext.setJobDescription(None)
+
+
+def crossdoc_parts(spark, sf_dir):
+    """Stage isolation of crossdoc_duplicate_spans."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from whoiswho_spark.functions.repetition import _ngram_array
+    from whoiswho_spark.functions.textstats import ws_tokens_col
+    from whoiswho_spark.operators.span_dedup import crossdoc_duplicate_spans
+    from whoiswho_spark.session import spread_small_input
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spread_small_input(docs.select("doc_id", "text"))
+    arr = ws_tokens_col(F.col("text"))
+    base = d.select(
+        F.col("doc_id").alias("_id"),
+        F.size(arr).cast("bigint").alias("n_tokens"),
+        F.transform(_ngram_array(arr, 8), lambda g: F.xxhash64(g)).alias("_ghs"),
+    )
+    spark.sparkContext.setJobDescription("crossdoc: gram hash build")
+    timed("crossdoc/base_noop", lambda: noop(base), reps=2)
+    grams = base.select("_id", F.posexplode("_ghs").alias("_pos", "_gh"))
+    spark.sparkContext.setJobDescription("crossdoc: grams exploded")
+    timed("crossdoc/grams_noop", lambda: noop(grams), reps=2)
+    counts = grams.groupBy("_gh").agg(
+        F.countDistinct("_id").cast("bigint").alias("_ndocs")
+    )
+    spark.sparkContext.setJobDescription("crossdoc: counts agg")
+    timed("crossdoc/counts_noop", lambda: noop(counts), reps=2)
+    dup = grams.join(
+        counts.filter(F.col("_ndocs") >= 2).select("_gh"), "_gh", "inner"
+    ).select("_id", F.col("_pos").alias("_start"), (F.col("_pos") + 7).alias("_end"))
+    spark.sparkContext.setJobDescription("crossdoc: dup join")
+    timed("crossdoc/dupjoin_noop", lambda: noop(dup), reps=2)
+    ws = Window.partitionBy("_id").orderBy("_start", "_end")
+    prev_max = F.max("_end").over(ws.rowsBetween(Window.unboundedPreceding, -1))
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("_end") - F.greatest(F.col("_start") - 1, F.coalesce(prev_max, F.lit(-1))),
+    )
+    cov = (
+        dup.withColumn("_contrib", contrib)
+        .groupBy("_id")
+        .agg(F.sum("_contrib").cast("bigint").alias("dup_tokens"))
+    )
+    spark.sparkContext.setJobDescription("crossdoc: coverage window")
+    timed("crossdoc/coverage_noop", lambda: noop(cov), reps=2)
+    spark.sparkContext.setJobDescription("crossdoc: full")
+    timed(
+        "crossdoc/full",
+        lambda: noop(crossdoc_duplicate_spans(docs, n=8, min_docs=2, flag_threshold=0.5)),
+        reps=2,
+    )
+    spark.sparkContext.setJobDescription(None)
+
+
+def minhash_salts(spark, sf_dir):
+    """n_salts sweep for minhash_dup_pairs."""
+    from whoiswho_spark.operators.dedup import minhash_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for ns in (8, 16, 32):
+        spark.sparkContext.setJobDescription(f"minhash: n_salts={ns}")
+        timed(
+            f"minhash/full_salts{ns}",
+            lambda n=ns: noop(minhash_dup_pairs(docs, n_salts=n)),
+            reps=2,
+        )
+    spark.sparkContext.setJobDescription(None)
+
+
+def run_queries(spark, names):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in names:
+        spark.sparkContext.setJobDescription(f"q: {name}")
+        timed(f"query/{name}", lambda n=name: noop(qs[n](spark, SF)), reps=2)
+    spark.sparkContext.setJobDescription(None)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "er"
+    spark = get_spark()
+    print(f"# sf={SF} cpus={CPUS} mode={mode}")
+    if mode == "er":
+        er_parts(spark, SF)
+    elif mode == "jaccard":
+        jaccard_ab(spark, SF)
+    elif mode == "erscore":
+        er_score_only(spark, SF)
+    elif mode == "jacdiag2":
+        jaccard_diag2(spark, SF)
+    elif mode == "jacdiag":
+        jaccard_diag(spark, SF)
+    elif mode == "jacmicro":
+        jaccard_micro(spark, SF)
+    elif mode == "crossdoc":
+        crossdoc_parts(spark, SF)
+    elif mode == "minhashsalts":
+        minhash_salts(spark, SF)
+    elif mode == "minhash":
+        minhash_parts(spark, SF)
+    elif mode == "ngram":
+        ngram_parts(spark, SF)
+    elif mode == "queries":
+        run_queries(spark, sys.argv[2:])
+    spark.stop()

@@ -229,7 +229,14 @@ def connected_components(
     become singleton clusters labeled by themselves.
     """
     spark = edges.sparkSession
-    edges = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    # Round 6: no input ``.distinct()`` — connected components of a
+    # multigraph equal those of its simple graph, and every star round
+    # already dedupes its own output, so the up-front distinct was one
+    # full exchange+aggregate over the input (23.7M rows, ~4 s at sf1)
+    # spent only to shrink the first round's input. Duplicate edges
+    # merely inflate the first checksum count (internal) and delay the
+    # local-finish cutover by the duplication factor.
+    edges = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
 
     def _persist(e: DataFrame, it: int) -> DataFrame:
         if checkpoint_dir is None:

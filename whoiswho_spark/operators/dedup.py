@@ -122,10 +122,20 @@ def minhash_dup_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 4,
     rows_per_band: int = 2,
-    n_salts: int = 8,
+    n_salts: int | None = None,
     salt_min_bucket: int = 512,
 ) -> DataFrame:
     """Candidate dup pairs from shared LSH buckets (deduped across bands).
+
+    ``n_salts`` defaults to the cluster's default parallelism (round 6):
+    the salt count bounds how many tasks can share one mega-bucket's
+    quadratic fan-out, so a fixed constant is wrong at BOTH ends — 8
+    salts pinned sf1's 31k-doc bucket (492M of the 764M output pairs) to
+    8 tasks AND pushed each salt's sort-merge buffer past the in-memory
+    group threshold. Measured at sf1 / local[32]: n_salts 8 → 55.7 s,
+    16 → 53.6 s, 32 → 6.7 s (identical result set by construction: the
+    a-side carries one salt per row, the b-side replicates to all
+    salts, so every pair still meets exactly once).
 
     NO GLOBAL DISTINCT: a pair duplicates only when both docs collide in
     SEVERAL bands, so each band-b join emits a pair only if its buckets
@@ -146,6 +156,15 @@ def minhash_dup_pairs(
     heavy-bucket key list is tiny by construction (≤ |corpus| /
     salt_min_bucket keys) and is broadcast.
     """
+    from whoiswho_spark.session import spread_small_input
+
+    # the signature build (num_hashes md5s per distinct token) is the
+    # expensive pre-shuffle projection — spread a single-split scan
+    # across the executors first (round 6; no-op at real scale, where
+    # the scan has plenty of splits: guide §2.6/§6 small-file trap)
+    if n_salts is None:
+        n_salts = max(8, df.sparkSession.sparkContext.defaultParallelism)
+    df = spread_small_input(df.select(id_col, text_col))
     base = _distinct_tokens_first(df, text_col, id_col)
     sig = minhash_signature_cols(F.col("_toks"), num_hashes)
     buckets = band_bucket_cols(sig, rows_per_band)
@@ -225,6 +244,49 @@ def _jaccard_sets_udf():
 
 
 def _jaccard_sets_memo_udf():
+    """Token-set Jaccard over DUPLICATE-FREE token arrays — now a pure
+    Catalyst expression builder (same 4-arg call shape as the pandas
+    variant it replaces; the id columns are accepted and unused).
+
+    Round-6 measurement (guide §4: eliminate the JVM↔Python boundary):
+    at sf1 / local[32] the Arrow-batched memo UDF was the er_pipeline
+    wall — the block self-join emits 26.0M pairs and every pair ships
+    BOTH token arrays through the Arrow boundary, 300.7 s of the 358.7 s
+    query (join without scoring: 11.7 s).  ``size(array_intersect)``
+    with ``|∪| = |a|+|b|−|∩|`` keeps the whole stage in whole-stage
+    codegen: no ArrowEvalPython node, no Python workers, no per-pair
+    set materialization.  Bit-identical doubles to the pandas memo
+    kernel (verified 0/259,529 mismatches at sf0.1, 0/25,984,882 at
+    sf1): identical integer counts, same single int/int→double division.
+
+    PRECONDITION: both array inputs carry no duplicates — every call
+    site (bench.py's er pairs, ngram_jaccard_pairs) applies
+    ``array_distinct`` first, so ``size(x)`` equals ``|set(x)|``.  The
+    per-batch id→set memo variant is kept below
+    (``_jaccard_sets_memo_pandas_udf``) as the measured-and-rejected
+    alternative; see OPTIMIZATION_r06.md."""
+
+    def jac(ida, x, idb, y):
+        # Let-bind the intersection count via a single-element-array
+        # transform so ArrayIntersect — an interpreted per-row set op,
+        # the expensive node here — is evaluated ONCE per pair instead
+        # of once per reference (cond + numerator + denominator would
+        # otherwise each re-run it: measured 389 s vs 190 s at sf1).
+        return F.get(
+            F.transform(
+                F.array(F.size(F.array_intersect(x, y))),
+                lambda i: F.when(
+                    F.size(x) + F.size(y) - i > 0,
+                    i / (F.size(x) + F.size(y) - i),
+                ).otherwise(F.lit(0.0)),
+            ),
+            0,
+        )
+
+    return jac
+
+
+def _jaccard_sets_memo_pandas_udf():
     """Token-set Jaccard with a PER-BATCH id→set memo: every page
     appears in many pairs, so each set is built once per Arrow batch
     instead of once per pair. No explicit re-sort needed — pair batches
@@ -233,7 +295,12 @@ def _jaccard_sets_memo_udf():
     explicit sortWithinPartitions of the WIDE pair rows was measured
     slower than the memo savings. |∪| = |a|+|b|−|∩| (no union-set
     allocation). Bit-identical doubles to _jaccard_sets_udf: same
-    integer counts, same one division."""
+    integer counts, same one division.
+
+    Round 6 retired this from the hot paths: the pairs-side Arrow
+    transfer (two string arrays per pair) made it 300.7 s of
+    er_pipeline's 358.7 s at sf1 — the Catalyst builder above replaces
+    it (parity-gated in tests/test_dedup_ann_textstats.py)."""
     import pandas as pd
     import numpy as np
     from pyspark.sql.types import DoubleType
@@ -366,6 +433,26 @@ def _dense_token_ranks(df_tbl: DataFrame, n_parts: int | None = None) -> DataFra
     )
 
 
+def _pair_distinct(pairs: DataFrame) -> DataFrame:
+    """Distinct over (id_a, id_b) with the exchange placed EXPLICITLY
+    below the aggregate (round 6, guide §2.1/§5).
+
+    A bare ``.distinct()`` plans partial-aggregate → exchange → final.
+    The meet join's duplicates for one pair live in DIFFERENT
+    (block, token) groups, so the map-side partial agg dedupes almost
+    nothing while building a hash map over nearly every input row —
+    ~14M keys per task at sf1 — which exceeds execution memory and
+    falls back to sort-based spill.  Repartitioning on the pair key
+    first satisfies the aggregate's distribution, so Spark runs the
+    whole aggregation post-shuffle where each task holds only
+    |distinct pairs| / N keys.  Measured at sf1 (500M meet rows → 44M
+    pairs): 83.3 s → 42.0 s for the candidate stage.  Result-identical
+    trivially (dedup is dedup; partition count only shapes execution).
+    """
+    n = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return pairs.repartition(n, "id_a", "id_b").distinct()
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     block_col: str,
@@ -422,6 +509,11 @@ def ngram_jaccard_pairs_prefix(
     bottleneck back to the meet join that the shorter index prefix
     prunes.
     """
+    from whoiswho_spark.session import spread_small_input
+
+    # spread a single-split scan before the tokenize/explode projections
+    # (round 6; no-op at real scale — see spread_small_input)
+    df = spread_small_input(df.select(block_col, id_col, text_col))
     t = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col),
@@ -485,8 +577,8 @@ def ngram_jaccard_pairs_prefix(
                 )
             )
             .select("id_a", "id_b")
-            .distinct()
         )
+        cands = _pair_distinct(cands)
     else:
         # PPJoin asymmetric prefixes: orient each pair so the SMALLER
         # doc is the index side a (ties by id). J ≥ τ with |a| ≤ |b|
@@ -526,8 +618,8 @@ def ngram_jaccard_pairs_prefix(
                 F.least("id_a", "id_b").alias("id_a"),
                 F.greatest("id_a", "id_b").alias("id_b"),
             )
-            .distinct()
         )
+        cands = _pair_distinct(cands)
     inter = F.size(F.array_intersect("rks_a", "rks_b"))
     union = F.size("rks_a") + F.size("rks_b") - inter
     return (
@@ -601,11 +693,16 @@ def simhash_dup_pairs(
     (result-identical, pytest-gated), whose join meets on bit-chunk
     buckets instead of whole blocks.
     """
-    s = df.select(
+    from whoiswho_spark.session import spread_small_input
+
+    # spread a single-split scan, then materialize the Arrow UDF output
+    # once — it feeds BOTH join sides (round 6; before this the simhash
+    # kernel ran twice, single-task, on a one-row-group parquet scan)
+    s = spread_small_input(df.select(block_col, id_col, text_col)).select(
         F.col(block_col).alias("block"),
         F.col(id_col),
         simhash64_udf(F.col(text_col)).alias("sh"),
-    )
+    ).localCheckpoint()
     a = s.select("block", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = s.select("block", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -693,7 +790,11 @@ def simhash_dup_pairs_bucketed(
             f"usable chunks {n_chunks} < max_hamming+1={max_hamming + 1}: a "
             "pair within the hamming bound could differ in every chunk"
         )
-    s = df.select(
+    from whoiswho_spark.session import spread_small_input
+
+    # the simhash UDF is the expensive pre-shuffle map — spread a
+    # single-split scan first (round 6; no-op at real scale)
+    s = spread_small_input(df.select(block_col, id_col, text_col)).select(
         F.col(block_col).alias("block"),
         F.col(id_col),
         simhash64_udf(F.col(text_col)).alias("sh"),

@@ -44,7 +44,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from whoiswho_spark.functions.repetition import _ngram_array
 from whoiswho_spark.functions.textstats import ws_tokens_col
 from whoiswho_spark.session import spread_small_input
 
@@ -72,18 +71,39 @@ def crossdoc_duplicate_spans(
         raise ValueError("span ngram n must be >= 1")
     if min_docs < 2:
         raise ValueError("min_docs < 2 would flag within-document repetition")
-    # the gram build is the expensive pre-shuffle projection — spread a
+    # the token explode is the expensive pre-shuffle projection — spread a
     # single-split scan across the executors first (no-op at real scale)
     docs = spread_small_input(docs.select(id_col, text_col))
     arr = ws_tokens_col(F.col(text_col))
     base = docs.select(
         F.col(id_col).alias("_id"),
         F.size(arr).cast("bigint").alias("n_tokens"),
-        # single-param lambda on purpose: xxhash64 is variadic, and
-        # transform() binds (element, index) to 2-arg callables
-        F.transform(_ngram_array(arr, n), lambda g: F.xxhash64(g)).alias("_ghs"),
+        arr.alias("_tk"),
     )
-    grams = base.select("_id", F.posexplode("_ghs").alias("_pos", "_gh"))
+    # Round 6 (guide §4.1 "prefer built-ins with codegen"): the gram
+    # hashes used to be built per document with interpreted array HOFs
+    # (transform over an _ngram_array of concat_ws slices) and then
+    # posexploded — 16.5 s of the query's 19.2 s at sf1.  Now the
+    # TOKENS are exploded once and each position's gram hash is
+    # xxhash64(tok, lead(tok, 1), …, lead(tok, n−1)) over the per-doc
+    # position window — whole-stage-codegen end to end.  Equivalent by
+    # construction: tokens cannot contain the split delimiter, so the
+    # n-token TUPLE is in bijection with the ' '-joined gram string the
+    # oracle meets on (and the hash never appears in the output).  The
+    # window's (_id, _pos) shuffle+sort then doubles as the coverage
+    # sweep's partitioning+order, so the old plan's second per-doc
+    # window exchange and sort disappear (plan-asserted).
+    toks = base.select("_id", F.posexplode("_tk").alias("_pos", "_t0"))
+    wlead = Window.partitionBy("_id").orderBy("_pos")
+    lead_cols = [F.lead("_t0", i).over(wlead) for i in range(1, n)]
+    grams = toks.select(
+        "_id",
+        "_pos",
+        F.xxhash64(F.col("_t0"), *lead_cols).alias("_gh"),
+        *( [lead_cols[-1].alias("_last")] if n > 1 else [] ),
+    )
+    if n > 1:
+        grams = grams.where(F.col("_last").isNotNull()).drop("_last")
     counts = grams.groupBy("_gh").agg(
         F.countDistinct("_id").cast("bigint").alias("_ndocs")
     )

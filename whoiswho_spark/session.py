@@ -65,9 +65,39 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast policy (round 6, guide §3.1): STATIC size estimates are
+        # the classic broadcast failure mode — a self-join whose build side
+        # is "5.9 MB by file size" can fan out quadratically (the er pair
+        # join emits 26M pairs at sf1) and a static broadcast pins that
+        # whole stage to the scan's task count (ONE task for a one-row-
+        # group file: measured 312 s single-threaded vs 50 s through the
+        # exchange). So the static threshold trusts only trivially small
+        # sides (1 MB); AQE's RUNTIME threshold (64 MB, actual shuffle
+        # sizes, exact by construction) keeps every broadcast that is
+        # genuinely small when materialized. Scale note: on a real cluster
+        # the same split holds — static stats lie, runtime bytes don't;
+        # both knobs stay env-overridable per deployment.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_STATIC_BROADCAST", str(1024 * 1024)),
+        )
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_RUNTIME_BROADCAST", str(64 * 1024 * 1024)),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # Scan split size (round 6, guide §6): the local testdata ships
+        # 5–130 MB files (≥1 row group each); the 128 MB default packs a
+        # whole table into 1–2 splits and serializes the scan stage. The
+        # local default targets splits ≈ row-group size so multi-row-
+        # group tables scan in parallel; a real deployment reading TB+
+        # files should override to 512m–1g (fewer, larger map tasks —
+        # guide §2.2) via the env knob.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
