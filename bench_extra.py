@@ -643,6 +643,301 @@ def ngram_parts(spark, sf_dir):
     spark.sparkContext.setJobDescription(None)
 
 
+def ngram_distinct_sweep(spark, sf_dir):
+    """Partition-count sweep for the candidate pair-distinct exchange —
+    the remaining ngram wall (guide §2.2: fewer/larger vs more/smaller
+    reduce partitions; the input is ~500M narrow rows at sf1)."""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.dedup import (
+        _dense_token_ranks,
+        tokens_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        F.col("source").alias("block"),
+        F.col("doc_id"),
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    ).withColumn("sz", F.size("toks"))
+    df_tbl = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("_df"))
+    )
+    ranks = _dense_token_ranks(df_tbl)
+    ti = (
+        t.select("block", "doc_id", "sz", F.explode("toks").alias("tok"))
+        .join(ranks, "tok")
+        .groupBy("block", "doc_id", "sz")
+        .agg(F.sort_array(F.collect_list("rk")).alias("rks"))
+    ).localCheckpoint()
+    threshold = 0.5
+
+    def _plen(frac):
+        return F.greatest(
+            F.lit(1),
+            (F.col("sz") - F.ceil(F.round(F.lit(frac) * F.col("sz"), 9)) + 1).cast(
+                "int"
+            ),
+        )
+
+    idx_frac = 2.0 * threshold / (1.0 + threshold)
+    a = ti.select(
+        "block",
+        F.col("doc_id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.explode(F.slice("rks", 1, _plen(idx_frac))).alias("tok"),
+    )
+    b = ti.select(
+        "block",
+        F.col("doc_id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.explode(F.slice("rks", 1, _plen(threshold))).alias("tok"),
+    )
+    meets = a.join(b, ["block", "tok"]).where(
+        (
+            (F.col("sz_a") < F.col("sz_b"))
+            | ((F.col("sz_a") == F.col("sz_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        & (F.col("sz_a") >= F.lit(float(threshold)) * F.col("sz_b"))
+    )
+    pairs = meets.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
+    sweep = os.environ.get("NGRAM_PARTS", "32,96,192")
+    for n in [int(x) for x in sweep.split(",")]:
+        cands = pairs.repartition(n, "id_a", "id_b").distinct()
+        spark.sparkContext.setJobDescription(f"ngramsweep: n={n}")
+        timed(f"ngramsweep/cands_n{n}", lambda c=cands: noop(c), reps=2)
+    spark.sparkContext.setJobDescription(None)
+
+
+def er_cc_parts(spark, sf_dir):
+    """Isolate the er tail: persist+count of scored pairs, then CC over
+    the thresholded edges, with a local_finish_threshold sweep."""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.blocking import minhash_signature_cols
+    from whoiswho_spark.operators.clustering import connected_components
+    from whoiswho_spark.operators.dedup import _jaccard_sets_memo_udf, tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        "source",
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    )
+    sig = minhash_signature_cols(F.col("toks"), 4)
+    blocks = base.select(
+        "url",
+        F.concat_ws(
+            "|",
+            F.col("source"),
+            F.substring(
+                F.md5(F.concat_ws("_", *[s.cast("string") for s in sig[:2]])), 1, 16
+            ),
+        ).alias("block_key"),
+        F.col("toks"),
+    )
+    a = blocks.select("block_key", F.col("url").alias("url_a"), F.col("toks").alias("toks_a"))
+    b = blocks.select("block_key", F.col("url").alias("url_b"), F.col("toks").alias("toks_b"))
+    jac = _jaccard_sets_memo_udf()
+    pairs = (
+        a.join(b, "block_key")
+        .where(F.col("url_a") < F.col("url_b"))
+        .select(
+            "url_a", "url_b",
+            jac(F.col("url_a"), F.col("toks_a"), F.col("url_b"), F.col("toks_b")).alias("score"),
+        )
+    )
+    p = pairs.persist()
+    spark.sparkContext.setJobDescription("ercc: persist+count")
+    t0 = time.monotonic()
+    n = p.count()
+    print(f"ercc/persist_count: {time.monotonic()-t0:.3f}s  n_pairs={n}")
+    edges = p.where(F.col("score") >= 0.5).select(
+        F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+    )
+    spark.sparkContext.setJobDescription("ercc: edges count")
+    t0 = time.monotonic()
+    ne = edges.count()
+    print(f"ercc/edges_count: {time.monotonic()-t0:.3f}s  n_edges={ne}")
+    verts = blocks.select("url").distinct()
+    sweep = os.environ.get("CC_THRESH", "1000000")
+    for th in [int(x) for x in sweep.split(",")]:
+        spark.sparkContext.setJobDescription(f"ercc: cc threshold={th}")
+        timed(
+            f"ercc/cc_local_finish_{th}",
+            lambda t=th: noop(
+                connected_components(edges, vertices=verts, local_finish_threshold=t)
+            ),
+            reps=2,
+        )
+    p.unpersist()
+    spark.sparkContext.setJobDescription(None)
+
+
+def cc_round_parts(spark, sf_dir):
+    """Phase isolation of connected_components round 1 on the er edges."""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.blocking import minhash_signature_cols
+    from whoiswho_spark.operators.clustering import (
+        _large_star,
+        _small_star,
+        _local_union_find_star,
+    )
+    from whoiswho_spark.operators.dedup import _jaccard_sets_memo_udf, tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        "source",
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    )
+    sig = minhash_signature_cols(F.col("toks"), 4)
+    blocks = base.select(
+        "url",
+        F.concat_ws(
+            "|",
+            F.col("source"),
+            F.substring(
+                F.md5(F.concat_ws("_", *[s.cast("string") for s in sig[:2]])), 1, 16
+            ),
+        ).alias("block_key"),
+        F.col("toks"),
+    )
+    a = blocks.select("block_key", F.col("url").alias("url_a"), F.col("toks").alias("toks_a"))
+    b = blocks.select("block_key", F.col("url").alias("url_b"), F.col("toks").alias("toks_b"))
+    jac = _jaccard_sets_memo_udf()
+    pairs = (
+        a.join(b, "block_key")
+        .where(F.col("url_a") < F.col("url_b"))
+        .select(
+            "url_a", "url_b",
+            jac(F.col("url_a"), F.col("toks_a"), F.col("url_b"), F.col("toks_b")).alias("score"),
+        )
+    )
+    p = pairs.persist()
+    p.count()
+    edges0 = p.where(F.col("score") >= 0.5).select(
+        F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+
+    spark.sparkContext.setJobDescription("ccparts: input localCheckpoint")
+    t0 = time.monotonic()
+    edges = edges0.localCheckpoint()
+    print(f"ccparts/input_ckpt: {time.monotonic()-t0:.3f}s")
+
+    def checksum(e):
+        return e.agg(
+            F.count("*").alias("n"), F.expr("bit_xor(xxhash64(src, dst))").alias("h")
+        ).collect()[0]
+
+    spark.sparkContext.setJobDescription("ccparts: checksum input")
+    t0 = time.monotonic()
+    cs = checksum(edges)
+    print(f"ccparts/checksum0: {time.monotonic()-t0:.3f}s n={cs['n']}")
+
+    spark.sparkContext.setJobDescription("ccparts: large_star")
+    t0 = time.monotonic()
+    ls = _large_star(edges).localCheckpoint()
+    print(f"ccparts/large_star: {time.monotonic()-t0:.3f}s n={ls.count()}")
+
+    spark.sparkContext.setJobDescription("ccparts: small_star(large)")
+    t0 = time.monotonic()
+    ss = _small_star(ls).localCheckpoint()
+    print(f"ccparts/small_star: {time.monotonic()-t0:.3f}s n={ss.count()}")
+
+    spark.sparkContext.setJobDescription("ccparts: checksum round1")
+    t0 = time.monotonic()
+    cs1 = checksum(ss)
+    print(f"ccparts/checksum1: {time.monotonic()-t0:.3f}s n={cs1['n']}")
+
+    spark.sparkContext.setJobDescription("ccparts: local finish tail")
+    t0 = time.monotonic()
+    fin = _local_union_find_star(ss).localCheckpoint()
+    print(f"ccparts/local_finish: {time.monotonic()-t0:.3f}s n={fin.count()}")
+    p.unpersist()
+    spark.sparkContext.setJobDescription(None)
+
+
+def cc_large_star_variants(spark, sf_dir):
+    """A/B of _large_star formulations on the er edge set."""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.blocking import minhash_signature_cols
+    from whoiswho_spark.operators.clustering import _large_star, _symmetrize
+    from whoiswho_spark.operators.dedup import _jaccard_sets_memo_udf, tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        "source",
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    )
+    sig = minhash_signature_cols(F.col("toks"), 4)
+    blocks = base.select(
+        "url",
+        F.concat_ws(
+            "|",
+            F.col("source"),
+            F.substring(
+                F.md5(F.concat_ws("_", *[s.cast("string") for s in sig[:2]])), 1, 16
+            ),
+        ).alias("block_key"),
+        F.col("toks"),
+    )
+    a = blocks.select("block_key", F.col("url").alias("url_a"), F.col("toks").alias("toks_a"))
+    b = blocks.select("block_key", F.col("url").alias("url_b"), F.col("toks").alias("toks_b"))
+    jac = _jaccard_sets_memo_udf()
+    pairs = (
+        a.join(b, "block_key")
+        .where(F.col("url_a") < F.col("url_b"))
+        .select(
+            "url_a", "url_b",
+            jac(F.col("url_a"), F.col("toks_a"), F.col("url_b"), F.col("toks_b")).alias("score"),
+        )
+    )
+    p = pairs.persist()
+    p.count()
+    edges = (
+        p.where(F.col("score") >= 0.5)
+        .select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint()
+    )
+
+    def v_current():
+        return _large_star(edges)
+
+    def v_prefiltered():
+        # probe side filtered BEFORE the join (only dst>src rows survive)
+        sym = _symmetrize(edges)
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        return (
+            sym.where(F.col("dst") > F.col("src"))
+            .join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+
+    for name, fn in [("current", v_current), ("prefiltered", v_prefiltered),
+                     ("current2", v_current)]:
+        spark.sparkContext.setJobDescription(f"lsvar: {name}")
+        timed(f"lsvar/{name}", lambda f=fn: noop(f()), reps=2)
+    # identity check (filter-then-join == join-then-filter on probe cols)
+    c, pf = v_current(), v_prefiltered()
+    same_pf = pf.exceptAll(c).count() == 0 and c.exceptAll(pf).count() == 0
+    print("  prefiltered identical:", same_pf)
+    p.unpersist()
+    spark.sparkContext.setJobDescription(None)
+
+
 def crossdoc_parts(spark, sf_dir):
     """Stage isolation of crossdoc_duplicate_spans."""
     import pyspark.sql.functions as F
@@ -739,6 +1034,14 @@ if __name__ == "__main__":
         jaccard_diag(spark, SF)
     elif mode == "jacmicro":
         jaccard_micro(spark, SF)
+    elif mode == "ngramsweep":
+        ngram_distinct_sweep(spark, SF)
+    elif mode == "ercc":
+        er_cc_parts(spark, SF)
+    elif mode == "ccparts":
+        cc_round_parts(spark, SF)
+    elif mode == "lsvar":
+        cc_large_star_variants(spark, SF)
     elif mode == "crossdoc":
         crossdoc_parts(spark, SF)
     elif mode == "minhashsalts":

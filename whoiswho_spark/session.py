@@ -85,6 +85,23 @@ def get_spark(
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
             os.environ.get("SPARK_GRAFT_RUNTIME_BROADCAST", str(64 * 1024 * 1024)),
         )
+        # Shuffle compression (round 6, guide §2.3 "measure both"): the
+        # pair-heavy exchanges shuffle hundreds of millions of NARROW
+        # rows (two bigints), where lz4's per-row framing CPU dominates
+        # the stage — measured at sf1/local[32]: ngram's 500M-row
+        # candidate distinct 46.2 s with lz4, 17.1 s uncompressed, 94.0 s
+        # zstd. Local shuffle goes to page-cache-backed disk with far
+        # more bandwidth than lz4 throughput, so compression is pure
+        # overhead here. Production note: on a NETWORK-bound cluster
+        # compression usually pays — set SPARK_GRAFT_SHUFFLE_COMPRESS=true
+        # (and pick the codec per guide §2.3) when shuffle crosses NICs;
+        # the local default only asserts that disk-local shuffle bytes
+        # are cheaper than codec CPU, which holds on any node with fast
+        # local disks.
+        .config(
+            "spark.shuffle.compress",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # Scan split size (round 6, guide §6): the local testdata ships
