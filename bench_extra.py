@@ -509,7 +509,7 @@ def ngram_parts(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count("*").alias("_df"))
     )
-    ranks = _dense_token_ranks(df_tbl)
+    ranks, _nv = _dense_token_ranks(df_tbl)
     ti = (
         t.select("block", "doc_id", "sz", F.explode("toks").alias("tok"))
         .join(ranks, "tok")
@@ -665,7 +665,7 @@ def ngram_distinct_sweep(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count("*").alias("_df"))
     )
-    ranks = _dense_token_ranks(df_tbl)
+    ranks, _nv = _dense_token_ranks(df_tbl)
     ti = (
         t.select("block", "doc_id", "sz", F.explode("toks").alias("tok"))
         .join(ranks, "tok")
@@ -1008,6 +1008,525 @@ def minhash_salts(spark, sf_dir):
     spark.sparkContext.setJobDescription(None)
 
 
+def cc_int_encode_proto(spark, sf_dir):
+    """Prototype A/B: connected components on STRING node ids (current)
+    vs dense-LONG-encoded ids (string-sort-order-preserving ranks, so
+    min-rank ↔ min-string and the final labels are identical).
+
+    Motivation (plans/r06 + executed-plan read): min(dst) over STRINGS
+    cannot use HashAggregate (var-length buffer) → every star round
+    SORT-aggregates the full symmetrized edge list (48M string rows at
+    the sf1 stand-in), and every exchange carries strings. On longs the
+    same aggregate is a partial-agg HashAggregate (48M → ~n_nodes rows
+    before the exchange) and rows are 16 bytes.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from whoiswho_spark.operators.blocking import minhash_signature_cols
+    from whoiswho_spark.operators.clustering import (
+        _local_union_find_star,
+        _symmetrize,
+        connected_components,
+    )
+    from whoiswho_spark.operators.dedup import _jaccard_sets_memo_udf, tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        "source",
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    )
+    sig = minhash_signature_cols(F.col("toks"), 4)
+    blocks = base.select(
+        "url",
+        F.concat_ws(
+            "|",
+            F.col("source"),
+            F.substring(
+                F.md5(F.concat_ws("_", *[s.cast("string") for s in sig[:2]])), 1, 16
+            ),
+        ).alias("block_key"),
+        F.col("toks"),
+    )
+    a = blocks.select("block_key", F.col("url").alias("url_a"), F.col("toks").alias("toks_a"))
+    b = blocks.select("block_key", F.col("url").alias("url_b"), F.col("toks").alias("toks_b"))
+    jac = _jaccard_sets_memo_udf()
+    pairs = (
+        a.join(b, "block_key")
+        .where(F.col("url_a") < F.col("url_b"))
+        .select(
+            "url_a", "url_b",
+            jac(F.col("url_a"), F.col("toks_a"), F.col("url_b"), F.col("toks_b")).alias("score"),
+        )
+    )
+    p = pairs.persist()
+    p.count()
+    edges = p.where(F.col("score") >= 0.5).select(
+        F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+    )
+    verts = blocks.select("url").distinct()
+
+    reps = int(os.environ.get("CCINT_REPS", "2"))
+    spark.sparkContext.setJobDescription("ccint: current string CC")
+    timed(
+        "ccint/cc_strings",
+        lambda: noop(connected_components(edges, vertices=verts)),
+        reps=reps,
+    )
+
+    def cc_int():
+        e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+        nodes = e.select(F.col("src").alias("node")).union(
+            e.select(F.col("dst").alias("node"))
+        ).distinct()
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        parted = nodes.repartitionByRange(n_parts, "node").withColumn(
+            "_p", F.spark_partition_id()
+        )
+        w = Window.partitionBy("_p").orderBy("node")
+        local = parted.select(
+            "node", "_p", F.row_number().over(w).alias("_rn")
+        ).localCheckpoint()
+        counts = {
+            r["_p"]: r["n"]
+            for r in local.groupBy("_p").agg(F.count("*").alias("n")).collect()
+        }
+        offsets, acc = {}, 0
+        for q in sorted(counts):
+            offsets[q] = acc
+            acc += counts[q]
+        off = F.create_map(
+            *[F.lit(x) for p_o in sorted(offsets.items()) for x in p_o]
+        )
+        ranks = local.select(
+            "node", (off[F.col("_p")] + F.col("_rn")).cast("long").alias("rk")
+        )
+        ranks = F.broadcast(ranks)
+        ei = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .withColumnRenamed("rk", "si")
+            .join(
+                ranks.withColumnRenamed("node", "dst").withColumnRenamed("rk", "di"),
+                "dst",
+            )
+            .select(F.col("si").alias("src"), F.col("di").alias("dst"))
+        )
+        ei = ei.localCheckpoint()
+        # star loop on longs (inline, no checkpoint protocol — prototype)
+        prev = ei.agg(
+            F.count("*").alias("n"), F.expr("bit_xor(xxhash64(src, dst))").alias("h")
+        ).collect()[0]
+        cur_edges = ei
+        from whoiswho_spark.operators.clustering import _large_star, _small_star
+
+        while True:
+            if prev["n"] <= 1_000_000:
+                cur_edges = _local_union_find_star(cur_edges).localCheckpoint()
+                break
+            cur_edges = _small_star(_large_star(cur_edges)).localCheckpoint()
+            cur = cur_edges.agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+            ).collect()[0]
+            if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
+                break
+            prev = cur
+        labels_i = (
+            _symmetrize(cur_edges)
+            .groupBy("src")
+            .agg(F.least(F.min("dst"), F.first("src")).alias("cid"))
+        )
+        # decode: node rank → url, cluster rank → min url
+        labels = (
+            labels_i.join(ranks.withColumnRenamed("rk", "src"), "src")
+            .withColumnRenamed("node", "url")
+            .join(
+                ranks.withColumnRenamed("rk", "cid").withColumnRenamed(
+                    "node", "cluster_id"
+                ),
+                "cid",
+            )
+            .select("url", "cluster_id")
+        )
+        out = (
+            verts.join(labels, "url", "left")
+            .select("url", F.coalesce("cluster_id", F.col("url")).alias("cluster_id"))
+        )
+        noop(out)
+        return out
+
+    spark.sparkContext.setJobDescription("ccint: int-encoded CC")
+    timed("ccint/cc_ints", lambda: cc_int(), reps=reps)
+    spark.sparkContext.setJobDescription("ccint: identity check")
+    cur = connected_components(edges, vertices=verts)
+    new = cc_int()
+    same = cur.count() == new.count() and cur.exceptAll(new).count() == 0
+    print("  int-encoded CC labels identical:", same)
+    p.unpersist()
+    spark.sparkContext.setJobDescription(None)
+
+
+def jaccard_expr_variants(spark, sf_dir):
+    """A/B the er scoring EXPRESSION forms (guide §1.2 step 2), same join,
+    interleaved in one JVM:
+
+    - let: current transform-let (intersect evaluated once, but the HOF
+      is CodegenFallback → the projection runs interpreted).
+    - trydiv: coalesce(try_divide(i, sx+sy-i), 0.0) — i referenced twice
+      but both references are UNCONDITIONAL, so whole-stage codegen's
+      subexpression elimination can bind the intersect once while the
+      stage stays codegen'd (conditional branches block CSE, which is
+      why the naive when-form measured 389 s in round-6 session 1).
+    - whensz: when(sx+sy > 0, i/(sx+sy-i)).otherwise(0.0) — the
+      condition no longer references i; both i references sit in ONE
+      branch (CSE eligibility within a branch is the question).
+    """
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.blocking import minhash_signature_cols
+    from whoiswho_spark.operators.dedup import _jaccard_sets_memo_udf, tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        "source",
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    )
+    sig = minhash_signature_cols(F.col("toks"), 4)
+    blocks = base.select(
+        "url",
+        F.concat_ws(
+            "|",
+            F.col("source"),
+            F.substring(
+                F.md5(F.concat_ws("_", *[s.cast("string") for s in sig[:2]])), 1, 16
+            ),
+        ).alias("block_key"),
+        F.col("toks"),
+    )
+    a = blocks.select("block_key", F.col("url").alias("url_a"), F.col("toks").alias("toks_a"))
+    b = blocks.select("block_key", F.col("url").alias("url_b"), F.col("toks").alias("toks_b"))
+    joined = a.join(b, "block_key").where(F.col("url_a") < F.col("url_b"))
+
+    def let_form(x, y):
+        return _jaccard_sets_memo_udf()(F.lit(0), x, F.lit(0), y)
+
+    def trydiv_form(x, y):
+        i = F.size(F.array_intersect(x, y))
+        return F.coalesce(
+            F.try_divide(i, F.size(x) + F.size(y) - i), F.lit(0.0)
+        )
+
+    def whensz_form(x, y):
+        i = F.size(F.array_intersect(x, y))
+        return F.when(
+            F.size(x) + F.size(y) > 0, i / (F.size(x) + F.size(y) - i)
+        ).otherwise(F.lit(0.0))
+
+    forms = {"let": let_form, "trydiv": trydiv_form, "whensz": whensz_form}
+    reps = int(os.environ.get("JACVAR_REPS", "2"))
+    for rep in range(reps):
+        for name, form in forms.items():
+            pairs = joined.select(
+                "url_a", "url_b",
+                form(F.col("toks_a"), F.col("toks_b")).alias("score"),
+            )
+            spark.sparkContext.setJobDescription(f"jacvar: {name}")
+            timed(f"jacvar/{name}[{rep}]", lambda p=pairs: noop(p), reps=1)
+    # bit-parity of the alternates vs the current let form
+    ref = joined.select(
+        "url_a", "url_b", let_form(F.col("toks_a"), F.col("toks_b")).alias("score")
+    )
+    for name in ("trydiv", "whensz"):
+        alt = joined.select(
+            "url_a", "url_b",
+            forms[name](F.col("toks_a"), F.col("toks_b")).alias("score"),
+        )
+        spark.sparkContext.setJobDescription(f"jacvar: parity {name}")
+        diff = (
+            ref.alias("r")
+            .join(
+                alt.alias("t"),
+                (F.col("r.url_a") == F.col("t.url_a"))
+                & (F.col("r.url_b") == F.col("t.url_b")),
+            )
+            .where(F.col("r.score").cast("string") != F.col("t.score").cast("string"))
+            .count()
+        )
+        print(f"  {name} bitwise-mismatched scores vs let:", diff)
+    spark.sparkContext.setJobDescription(None)
+
+
+def ngram_verify_variants(spark, sf_dir):
+    """A/B the ngram VERIFY leg (the ~37 s residual at the sf1 stand-in:
+    full 60.9 s − cands 23.8 s). Variants:
+
+    - arrays/id_ab: round-5 shape — distinct keyed (id_a,id_b), verify
+      attaches the int-rank ARRAYS to 44M pairs (wide mid-exchange).
+    - arrays/id_a: distinct repartitioned on id_a ONLY (coarser
+      partitioning still satisfies the (id_a,id_b) aggregate, and the
+      first verify join can reuse it — one exchange removed).
+    - mask/id_ab, mask/id_a: vocab ≤ 63 ⇒ each doc's rank set is one
+      64-bit BITMASK; verify joins attach 8-byte masks instead of
+      arrays and |∩| = bit_count(mask_a & mask_b) — same integer
+      counts, same division, bit-identical doubles.
+    """
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.dedup import _dense_token_ranks, tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        F.col("source").alias("block"),
+        F.col("doc_id"),
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    ).withColumn("sz", F.size("toks"))
+    df_tbl = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("_df"))
+    )
+    ranks, _nv = _dense_token_ranks(df_tbl)
+    mask_bit = F.expr("shiftleft(cast(1 as bigint), cast(rk as int))")
+    ti = (
+        t.select("block", "doc_id", "sz", F.explode("toks").alias("tok"))
+        .join(ranks, "tok")
+        .groupBy("block", "doc_id", "sz")
+        .agg(
+            F.sort_array(F.collect_list("rk")).alias("rks"),
+            F.bit_or(mask_bit).alias("mask"),
+        )
+    ).localCheckpoint()
+    threshold = 0.5
+
+    def _plen(frac):
+        return F.greatest(
+            F.lit(1),
+            (F.col("sz") - F.ceil(F.round(F.lit(frac) * F.col("sz"), 9)) + 1).cast(
+                "int"
+            ),
+        )
+
+    idx_frac = 2.0 * threshold / (1.0 + threshold)
+    a = ti.select(
+        "block",
+        F.col("doc_id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.explode(F.slice("rks", 1, _plen(idx_frac))).alias("tok"),
+    )
+    b = ti.select(
+        "block",
+        F.col("doc_id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.explode(F.slice("rks", 1, _plen(threshold))).alias("tok"),
+    )
+    meets = a.join(b, ["block", "tok"]).where(
+        (
+            (F.col("sz_a") < F.col("sz_b"))
+            | ((F.col("sz_a") == F.col("sz_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        & (F.col("sz_a") >= F.lit(float(threshold)) * F.col("sz_b"))
+    )
+    pairs = meets.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def verify_arrays(cands):
+        inter = F.size(F.array_intersect("rks_a", "rks_b"))
+        union = F.size("rks_a") + F.size("rks_b") - inter
+        return (
+            cands.join(
+                ti.select(
+                    F.col("doc_id").alias("id_a"), "block", F.col("rks").alias("rks_a")
+                ),
+                "id_a",
+            )
+            .join(
+                ti.select(F.col("doc_id").alias("id_b"), F.col("rks").alias("rks_b")),
+                "id_b",
+            )
+            .select(
+                "block",
+                "id_a",
+                "id_b",
+                F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+
+    def verify_mask(cands):
+        inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
+        union = F.col("sz_a") + F.col("sz_b") - inter
+        return (
+            cands.join(
+                ti.select(
+                    F.col("doc_id").alias("id_a"),
+                    "block",
+                    F.col("sz").alias("sz_a"),
+                    F.col("mask").alias("mask_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                ti.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("sz").alias("sz_b"),
+                    F.col("mask").alias("mask_b"),
+                ),
+                "id_b",
+            )
+            .select(
+                "block",
+                "id_a",
+                "id_b",
+                F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+
+    variants = {
+        "arrays/id_ab": lambda: verify_arrays(
+            pairs.repartition(n, "id_a", "id_b").distinct()
+        ),
+        "arrays/id_a": lambda: verify_arrays(pairs.repartition(n, "id_a").distinct()),
+        "mask/id_ab": lambda: verify_mask(
+            pairs.repartition(n, "id_a", "id_b").distinct()
+        ),
+        "mask/id_a": lambda: verify_mask(pairs.repartition(n, "id_a").distinct()),
+    }
+    reps = int(os.environ.get("NGRAMV2_REPS", "2"))
+    for name, fn in variants.items():
+        spark.sparkContext.setJobDescription(f"ngramv2: {name}")
+        timed(f"ngramv2/{name}", lambda f=fn: noop(f()), reps=reps)
+    # identity check: mask verify == array verify, row for row
+    cur = verify_arrays(pairs.repartition(n, "id_a", "id_b").distinct())
+    new = verify_mask(pairs.repartition(n, "id_a").distinct())
+    spark.sparkContext.setJobDescription("ngramv2: identity check")
+    same = (
+        cur.count() == new.count()
+        and cur.exceptAll(new).count() == 0
+    )
+    print("  mask/id_a result identical to arrays/id_ab:", same)
+    spark.sparkContext.setJobDescription(None)
+
+
+def ngram_ownership_variant(spark, sf_dir):
+    """Prototype: mask-regime ngram WITHOUT the pair-distinct exchange
+    and WITHOUT verify joins. Each meet row carries (id, sz, prefix
+    mask, full mask) for both sides; a pair is emitted only from its
+    MINIMUM shared prefix token (lowest set bit of pmask_a & pmask_b ==
+    this meet's token bit) — exactly-once by construction, the minhash
+    first-colliding-band trick made affordable by 8-byte masks — and the
+    Jaccard verify runs inline on the full masks. The 500M-row meet
+    output then never crosses an Exchange at all."""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.dedup import (
+        _dense_token_ranks,
+        ngram_jaccard_pairs_prefix,
+        tokens_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    threshold = 0.5
+    t = docs.select(
+        F.col("source").alias("block"),
+        F.col("doc_id"),
+        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
+    ).withColumn("sz", F.size("toks"))
+    df_tbl = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("_df"))
+    )
+    ranks, n_vocab = _dense_token_ranks(df_tbl)
+    assert n_vocab <= 63, n_vocab
+
+    def _plen(frac):
+        return F.greatest(
+            F.lit(1),
+            (F.col("sz") - F.ceil(F.round(F.lit(frac) * F.col("sz"), 9)) + 1).cast(
+                "int"
+            ),
+        )
+
+    idx_frac = 2.0 * threshold / (1.0 + threshold)
+    mask_full = F.expr(
+        "aggregate(rks, cast(0 as bigint), (acc, r) -> acc | shiftleft(cast(1 as bigint), cast(r as int)))"
+    )
+    ti = (
+        t.select("block", "doc_id", "sz", F.explode("toks").alias("tok"))
+        .join(ranks, "tok")
+        .groupBy("block", "doc_id", "sz")
+        .agg(F.sort_array(F.collect_list("rk")).alias("rks"))
+        .withColumn("fmask", mask_full)
+    ).localCheckpoint()
+
+    def prefix_side(frac, suffix):
+        pmask = F.expr(
+            "aggregate(slice(rks, 1, _pl), cast(0 as bigint), "
+            "(acc, r) -> acc | shiftleft(cast(1 as bigint), cast(r as int)))"
+        )
+        return (
+            ti.withColumn("_pl", _plen(frac))
+            .withColumn("pmask", pmask)
+            .select(
+                "block",
+                F.col("doc_id").alias(f"id_{suffix}"),
+                F.col("sz").alias(f"sz_{suffix}"),
+                F.col("pmask").alias(f"pm_{suffix}"),
+                F.col("fmask").alias(f"fm_{suffix}"),
+                F.explode(F.slice("rks", 1, F.col("_pl"))).alias("tok"),
+            )
+        )
+
+    a = prefix_side(idx_frac, "a")
+    b = prefix_side(threshold, "b")
+    shared = F.col("pm_a").bitwiseAND(F.col("pm_b"))
+    # emit only from the minimum shared prefix token: no shared bit
+    # strictly below this meet's token bit
+    own = shared.bitwiseAND(
+        F.expr("shiftleft(cast(1 as bigint), cast(tok as int)) - 1")
+    ) == 0
+    inter = F.bit_count(F.col("fm_a").bitwiseAND(F.col("fm_b")))
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    out = (
+        a.join(b, ["block", "tok"])
+        .where(
+            (
+                (F.col("sz_a") < F.col("sz_b"))
+                | ((F.col("sz_a") == F.col("sz_b")) & (F.col("id_a") < F.col("id_b")))
+            )
+            & (F.col("sz_a") >= F.lit(float(threshold)) * F.col("sz_b"))
+            & own
+        )
+        .select(
+            "block",
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    reps = int(os.environ.get("NGRAMV3_REPS", "2"))
+    spark.sparkContext.setJobDescription("ngramv3: ownership, no distinct")
+    timed("ngramv3/ownership_full", lambda: noop(out), reps=reps)
+    spark.sparkContext.setJobDescription("ngramv3: current query")
+    timed(
+        "ngramv3/current_full",
+        lambda: noop(ngram_jaccard_pairs_prefix(docs, block_col="source")),
+        reps=reps,
+    )
+    spark.sparkContext.setJobDescription("ngramv3: identity check")
+    cur = ngram_jaccard_pairs_prefix(docs, block_col="source")
+    same = cur.count() == out.count() and cur.exceptAll(out).count() == 0
+    print("  ownership result identical:", same)
+    spark.sparkContext.setJobDescription(None)
+
+
 def run_queries(spark, names):
     import __spark_entry__ as entrymod
 
@@ -1050,6 +1569,14 @@ if __name__ == "__main__":
         minhash_parts(spark, SF)
     elif mode == "ngram":
         ngram_parts(spark, SF)
+    elif mode == "ngramv2":
+        ngram_verify_variants(spark, SF)
+    elif mode == "jacvar":
+        jaccard_expr_variants(spark, SF)
+    elif mode == "ccint":
+        cc_int_encode_proto(spark, SF)
+    elif mode == "ngramv3":
+        ngram_ownership_variant(spark, SF)
     elif mode == "queries":
         run_queries(spark, sys.argv[2:])
     spark.stop()

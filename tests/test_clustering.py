@@ -51,6 +51,42 @@ def test_cc_matches_union_find_random_graphs(spark):
         assert got == want, f"trial {trial}"
 
 
+def test_cc_encode_preserves_string_min_order(spark):
+    """Round 6: string node ids run the star loop on dense-long ranks.
+    The dictionary must preserve STRING sort order — numeric strings are
+    the trap (lexicographic min of {"9","10"} is "10", numeric min is 9).
+    A rank built on parsed numbers would relabel the component."""
+    edges = [("9", "10"), ("10", "100"), ("zz", "aa")]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["url"]: r["cluster_id"] for r in connected_components(edf).collect()
+    }
+    assert got == {
+        "9": "10", "10": "10", "100": "10",  # lexicographic min "10"
+        "zz": "aa", "aa": "aa",
+    }
+
+
+def test_cc_encode_loop_parity_forced_iterative(spark):
+    """The encoded star loop itself (local finish disabled) must equal
+    the union-find oracle on string ids — pins the encode→loop→decode
+    round-trip through the DISTRIBUTED path, not just the local tail."""
+    rng = random.Random(23)
+    nodes = [f"x{i:02d}" for i in range(40)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _union_find(edges, nodes)
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    vdf = spark.createDataFrame([(x,) for x in nodes], "url string")
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(
+            edf, vertices=vdf, local_finish_threshold=0
+        ).collect()
+    }
+    assert got == want
+
+
 def test_cc_chain_converges(spark):
     # a long path graph exercises the O(log n) star rounds
     n = 64

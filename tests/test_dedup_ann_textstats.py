@@ -471,6 +471,52 @@ def test_ngram_prefix_plan_random_corpora_parity(spark, asym):
         assert a == b, (trial, tau, a ^ b)
 
 
+@pytest.mark.parametrize("n_vocab", [63, 64, 100])
+def test_ngram_prefix_mask_regime_boundary_parity(spark, n_vocab):
+    """Round 6: the verify representation switches at vocab ≤ 63 (64-bit
+    rank bitmask + popcount) vs > 63 (int-rank arrays + array_intersect).
+    Both regimes must equal the quadratic block plan exactly — pinned at
+    the boundary (63 = last mask corpus, 64 = first array corpus) and at
+    a comfortably-array 100-word vocab."""
+    import random
+
+    from whoiswho_spark.operators.dedup import (
+        _dense_token_ranks,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+        tokens_col,
+    )
+    import pyspark.sql.functions as F
+
+    rng = random.Random(n_vocab)
+    vocab = [f"w{i}" for i in range(n_vocab)]
+    rows = []
+    for i in range(60):
+        k = rng.randint(2, min(20, n_vocab))
+        toks = rng.sample(vocab, k)
+        rows.append((i, rng.choice("ab"), " ".join(toks)))
+    # every vocab word must appear so the dense-rank count equals n_vocab;
+    # the two full-vocab docs share a block → one guaranteed J=1.0 pair
+    rows.append((997, "a", " ".join(vocab)))
+    rows.append((998, "a", " ".join(vocab)))
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    # confirm the regime gate sees the intended vocabulary size
+    t = df.select(F.array_distinct(tokens_col(F.col("text"))).alias("toks"))
+    df_tbl = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("_df"))
+    )
+    _, seen_vocab = _dense_token_ranks(df_tbl)
+    assert seen_vocab == n_vocab
+    a = {(r["id_a"], r["id_b"], r["jaccard"])
+         for r in ngram_jaccard_pairs(df, block_col="source").collect()}
+    b = {(r["id_a"], r["id_b"], r["jaccard"])
+         for r in ngram_jaccard_pairs_prefix(df, block_col="source").collect()}
+    assert a == b
+    assert len(a) > 0
+
+
 def test_ngram_prefix_boundary_threshold_parity(spark):
     """Thresholds whose float product lands one ULP above the exact
     rational (0.28·25 → 7.000000000000001; same family at 0.56) used to
@@ -794,10 +840,7 @@ def test_dense_token_ranks_match_global_window(spark):
         ).collect()
     }
     for n_parts in (1, 5, 300):
-        got = {
-            r["tok"]: r["rk"]
-            for r in _dense_token_ranks(
-                df_tbl.repartition(7), n_parts=n_parts
-            ).collect()
-        }
+        ranks, n_vocab = _dense_token_ranks(df_tbl.repartition(7), n_parts=n_parts)
+        got = {r["tok"]: r["rk"] for r in ranks.collect()}
         assert got == want, n_parts
+        assert n_vocab == len(rows)

@@ -75,6 +75,27 @@ def er_pairs_df(spark):
     )
 
 
+def cc_large_star_df(spark, suffix: str):
+    """Plan shape of one CC large-star round. 'before' = the string-id
+    loop (what ran before the round-6 node encode); 'after' = the loop
+    body over dictionary-encoded long ids. The shape difference under
+    audit: min() over strings plans SortAggregate (var-length buffer),
+    over longs HashAggregate with map-side partial aggregation."""
+    import pyspark.sql.functions as F
+
+    from whoiswho_spark.operators.clustering import _large_star
+
+    if suffix == "before":
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string"
+        )
+    else:
+        edges = spark.range(2).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+    return _large_star(edges)
+
+
 def main():
     suffix = sys.argv[1] if len(sys.argv) > 1 else "after"
     outdir = (
@@ -101,6 +122,13 @@ def main():
     with open(os.path.join(outdir, f"er_pairs_{suffix}.txt"), "w") as fh:
         fh.write(explain_formatted(er_pairs_df(spark)))
     print("dumped er_pairs", suffix)
+    # cc round shape: write BOTH regimes from one tree (the loop operators
+    # are unchanged; only the node id type differs — see cc_large_star_df)
+    if suffix == "after":
+        for sfx in ("before", "after"):
+            with open(os.path.join(outdir, f"cc_large_star_{sfx}.txt"), "w") as fh:
+                fh.write(explain_formatted(cc_large_star_df(spark, sfx)))
+            print("dumped cc_large_star", sfx)
     spark.stop()
 
 

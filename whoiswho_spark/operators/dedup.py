@@ -267,20 +267,22 @@ def _jaccard_sets_memo_udf():
     alternative; see OPTIMIZATION_r06.md."""
 
     def jac(ida, x, idb, y):
-        # Let-bind the intersection count via a single-element-array
-        # transform so ArrayIntersect — an interpreted per-row set op,
-        # the expensive node here — is evaluated ONCE per pair instead
-        # of once per reference (cond + numerator + denominator would
-        # otherwise each re-run it: measured 389 s vs 190 s at sf1).
-        return F.get(
-            F.transform(
-                F.array(F.size(F.array_intersect(x, y))),
-                lambda i: F.when(
-                    F.size(x) + F.size(y) - i > 0,
-                    i / (F.size(x) + F.size(y) - i),
-                ).otherwise(F.lit(0.0)),
-            ),
-            0,
+        # coalesce(try_divide(i, |a|+|b|−i), 0) with i =
+        # size(array_intersect): both references to i are UNCONDITIONAL,
+        # so whole-stage codegen's subexpression elimination evaluates
+        # the intersect ONCE while the stage stays fully codegen'd.
+        # (CSE does NOT reach into conditional branches — a when-form
+        # referencing i from a branch re-evaluates it, measured 25.8 s
+        # vs 14.0 s at the sf1 stand-in; the earlier transform-"let"
+        # also bound i once but its HOF is CodegenFallback, dropping
+        # the projection to interpreted mode: 16.1 s.)  try_divide
+        # returns NULL exactly when the union is 0 (both inputs empty
+        # or NULL) → coalesce restores the contract's 0.0; bit-parity
+        # vs the let form checked at 0 mismatches over all 26.3M
+        # stand-in pairs (bench_extra jacvar).
+        i = F.size(F.array_intersect(x, y))
+        return F.coalesce(
+            F.try_divide(i, F.size(x) + F.size(y) - i), F.lit(0.0)
         )
 
     return jac
@@ -391,9 +393,11 @@ def ngram_jaccard_pairs(
     )
 
 
-def _dense_token_ranks(df_tbl: DataFrame, n_parts: int | None = None) -> DataFrame:
-    """(tok, _df) → (tok, rk): dense integer rank of every token in
-    rarest-first (_df, tok) order, computed DISTRIBUTED — a plain
+def _dense_token_ranks(
+    df_tbl: DataFrame, n_parts: int | None = None
+) -> tuple[DataFrame, int]:
+    """(tok, _df) → ((tok, rk), vocab_size): dense integer rank of every
+    token in rarest-first (_df, tok) order, computed DISTRIBUTED — a plain
     ``row_number().over(Window.orderBy(...))`` would funnel the whole
     vocabulary through ONE task (a 100 TB corpus has a billion-token
     vocabulary). Instead: range-partition the vocab on the rank order,
@@ -402,7 +406,12 @@ def _dense_token_ranks(df_tbl: DataFrame, n_parts: int | None = None) -> DataFra
     prefix sum over n_parts counts. Rank VALUES are deterministic (the
     rank of a token in a total order does not depend on where the range
     boundaries fall); they are internal to one run, never part of a
-    query result."""
+    query result.
+
+    The vocabulary size falls out of the same per-partition counts the
+    prefix sum already collects (zero extra jobs); ranks are 1..vocab.
+    The caller uses it to pick the verify representation (round 6:
+    bitmask fast path for ≤63-token vocabularies)."""
     spark = df_tbl.sparkSession
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -420,7 +429,7 @@ def _dense_token_ranks(df_tbl: DataFrame, n_parts: int | None = None) -> DataFra
     if not counts:
         # empty vocab: create_map() with zero args types as map<void,void>
         # and fails analysis — the (empty) local frame is already correct
-        return local.select("tok", F.col("_rn").cast("long").alias("rk"))
+        return local.select("tok", F.col("_rn").cast("long").alias("rk")), 0
     offsets, acc = {}, 0
     for p in sorted(counts):
         offsets[p] = acc
@@ -428,12 +437,13 @@ def _dense_token_ranks(df_tbl: DataFrame, n_parts: int | None = None) -> DataFra
     off = F.create_map(
         *[F.lit(x) for p_o in sorted(offsets.items()) for x in p_o]
     )
-    return local.select(
+    ranks = local.select(
         "tok", (off[F.col("_p")] + F.col("_rn")).cast("long").alias("rk")
     )
+    return ranks, acc
 
 
-def _pair_distinct(pairs: DataFrame) -> DataFrame:
+def _pair_distinct(pairs: DataFrame, keys: tuple[str, ...] = ("id_a", "id_b")) -> DataFrame:
     """Distinct over (id_a, id_b) with the exchange placed EXPLICITLY
     below the aggregate (round 6, guide §2.1/§5).
 
@@ -447,10 +457,9 @@ def _pair_distinct(pairs: DataFrame) -> DataFrame:
     whole aggregation post-shuffle where each task holds only
     |distinct pairs| / N keys.  Measured at sf1 (500M meet rows → 44M
     pairs): 83.3 s → 42.0 s for the candidate stage.  Result-identical
-    trivially (dedup is dedup; partition count only shapes execution).
-    """
+    trivially (dedup is dedup; partition count only shapes execution)."""
     n = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return pairs.repartition(n, "id_a", "id_b").distinct()
+    return pairs.repartition(n, *keys).distinct()
 
 
 def ngram_jaccard_pairs_prefix(
@@ -486,14 +495,31 @@ def ngram_jaccard_pairs_prefix(
 
     Measured at sf0.1 / local[32] (best-of-3): 4.3 s → 2.1 s for the
     string-UDF → int-Catalyst verify + narrow distinct rewrite. Two
-    alternatives tried and REVERTED: a PPJoin positional filter on the
-    meet rows (per-row min-overlap arithmetic over the ~10×-duplicated
-    meets cost more than the distinct it replaced, 4.8 s) and
+    alternatives tried and REVERTED on the array plan: a PPJoin
+    positional filter on the meet rows (per-row min-overlap arithmetic
+    over the ~10×-duplicated meets cost more than the distinct it
+    replaced, 4.8 s; re-measured and re-rejected at sf1 in round 6) and
     first-common-token ownership à la minhash first-colliding-band
     (carrying both prefix arrays through the meet join exploded the
     shuffle width: 12 s vs the 1.2 s narrow distinct it was meant to
     remove — the minhash trick works there because band buckets are a
     FIXED-WIDTH row, not variable-length arrays).
+
+    SMALL-VOCAB BITMASK regime (round 6): when the corpus vocabulary
+    fits 63 dense ranks (the gate falls out of _dense_token_ranks'
+    prefix-sum counts, zero extra jobs), each doc's rank set is one
+    64-bit mask — and fixed-width masks make the ownership idea above
+    AFFORDABLE: meet rows carry both sides' (prefix mask, full mask),
+    a pair is emitted only from its minimum shared prefix token
+    (lowest-set-bit test on pmask_a & pmask_b), and the Jaccard verify
+    runs inline as bit_count(fmask_a & fmask_b) — same integer counts,
+    same single division, bit-identical doubles. The pair-distinct
+    exchange and both verify joins disappear; the ~500M-row meet output
+    never crosses an Exchange. Measured at the sf1 stand-in
+    (interleaved best-of-2): 23.0 s → 5.7 s, identity-checked over all
+    44M pairs. Corpora with >63 distinct tokens (any real crawl) keep
+    the int-rank-array plan below; categorical/low-cardinality set
+    workloads are where the mask regime fires in practice.
 
     ``asymmetric=True`` (the default since round 5) uses PPJoin's
     ASYMMETRIC prefixes: each pair is oriented so the smaller doc is the
@@ -525,7 +551,17 @@ def ngram_jaccard_pairs_prefix(
         .groupBy("tok")
         .agg(F.count("*").alias("_df"))
     )
-    ranks = _dense_token_ranks(df_tbl)
+    ranks, n_vocab = _dense_token_ranks(df_tbl)
+    # regime gate (see the BITMASK paragraph in the docstring); bit 0
+    # stays unused since dense ranks start at 1, so ≤63 ranks fit a long
+    use_mask = 0 < n_vocab <= 63
+    agg_cols = [F.sort_array(F.collect_list("rk")).alias("rks")]
+    if use_mask:
+        agg_cols.append(
+            F.bit_or(
+                F.expr("shiftleft(cast(1 as bigint), cast(rk as int))")
+            ).alias("fmask")
+        )
     # per-doc ascending rank arrays — ascending rank IS rarest-first
     # (df, token) order, so one sorted int array serves both the prefix
     # slice and the intersect verify
@@ -533,7 +569,7 @@ def ngram_jaccard_pairs_prefix(
         t.select("block", id_col, "sz", F.explode("toks").alias("tok"))
         .join(ranks, "tok")
         .groupBy("block", id_col, "sz")
-        .agg(F.sort_array(F.collect_list("rk")).alias("rks"))
+        .agg(*agg_cols)
     )
     ti = ti.localCheckpoint()  # feeds prefix build and both verify sides
     # ⌈τ·sz⌉ in integer-safe form: the raw double product can land one ULP
@@ -554,6 +590,80 @@ def ngram_jaccard_pairs_prefix(
             ).cast("int"),
         )
 
+    if use_mask:
+        # OWNERSHIP plan (round 6): with 8-byte masks the meet rows can
+        # afford to CARRY both sides' prefix mask + full mask, so the
+        # pair-distinct exchange and both verify joins disappear:
+        # - exactly-once emit: a pair meets once per shared prefix
+        #   token; keep only the meet whose token is the MINIMUM shared
+        #   prefix token — "no shared bit strictly below this token's
+        #   bit" on pmask_a & pmask_b. The minhash first-colliding-band
+        #   trick, affordable here because the carried state is two
+        #   longs (the round-5 attempt carried variable-length prefix
+        #   ARRAYS and lost 10×; see the docstring history).
+        # - inline verify: |∩| = bit_count(fmask_a & fmask_b) on the
+        #   same row. The 500M-row meet output then never crosses an
+        #   Exchange at all. Measured at the sf1 stand-in (interleaved
+        #   best-of-2): 23.0 s → 5.7 s, result identical over all 44M
+        #   candidate pairs (bench_extra ngramv3).
+        pmask = F.expr(
+            "aggregate(slice(rks, 1, _pl), cast(0 as bigint), "
+            "(acc, r) -> acc | shiftleft(cast(1 as bigint), cast(r as int)))"
+        )
+
+        def _prefix_side(frac: float, sfx: str) -> DataFrame:
+            return (
+                ti.withColumn("_pl", _plen(frac))
+                .withColumn("pmask", pmask)
+                .select(
+                    "block",
+                    F.col(id_col).alias(f"id_{sfx}"),
+                    F.col("sz").alias(f"sz_{sfx}"),
+                    F.col("pmask").alias(f"pm_{sfx}"),
+                    F.col("fmask").alias(f"fm_{sfx}"),
+                    F.explode(F.slice("rks", 1, F.col("_pl"))).alias("tok"),
+                )
+            )
+
+        if asymmetric:
+            idx_frac = 2.0 * threshold / (1.0 + threshold)
+            a = _prefix_side(idx_frac, "a")
+            b = _prefix_side(threshold, "b")
+            pair_cond = (
+                (F.col("sz_a") < F.col("sz_b"))
+                | ((F.col("sz_a") == F.col("sz_b")) & (F.col("id_a") < F.col("id_b")))
+            ) & (F.col("sz_a") >= F.lit(float(threshold)) * F.col("sz_b"))
+        else:
+            a = _prefix_side(threshold, "a")
+            b = _prefix_side(threshold, "b")
+            pair_cond = (F.col("id_a") < F.col("id_b")) & (
+                F.least("sz_a", "sz_b")
+                >= F.lit(float(threshold)) * F.greatest("sz_a", "sz_b")
+            )
+        shared = F.col("pm_a").bitwiseAND(F.col("pm_b"))
+        owns = (
+            shared.bitwiseAND(
+                F.expr("shiftleft(cast(1 as bigint), cast(tok as int)) - 1")
+            )
+            == 0
+        )
+        inter = F.bit_count(F.col("fm_a").bitwiseAND(F.col("fm_b")))
+        union = F.col("sz_a") + F.col("sz_b") - inter
+        return (
+            a.join(b, ["block", "tok"])
+            .where(pair_cond & owns)
+            .select(
+                "block",
+                # normalize to id order (asymmetric orientation is by
+                # size); same integer counts and single division as the
+                # array verify (masks are a bijection of rank sets) →
+                # bit-identical doubles
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
     if not asymmetric:
         prefixes = ti.select(
             "block",
