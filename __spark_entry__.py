@@ -793,11 +793,20 @@ def _q_incremental_dedup(spark, sf):
         .parquet(src_dir)
     )
     ckpt = tempfile.mkdtemp(prefix="inc_dd_ckpt_")
-    name = "inc_dedup_contract"
+    # PARQUET file sink, not the memory sink (round 6, guide §5): the
+    # memory sink collects every micro-batch's rows onto the DRIVER —
+    # fine at the sf0.01 oracle scale (~80k pairs), a GC death spiral at
+    # sf0.1 (~8M pairs into an 8g driver; thread dump showed 19 GC
+    # threads at ~12 s CPU each and zero task progress). The file sink
+    # keeps rows on executors/disk; the read-back feeds the identical
+    # reducer, so the query result is byte-identical.
+    out_dir = tempfile.mkdtemp(prefix="inc_dd_out_")
+    from whoiswho_spark.streaming.incremental_dedup import OUTPUT_SCHEMA
+
     q = (
         incremental_dedup_stream(stream, max_bucket_size=1_000_000)
-        .writeStream.format("memory")
-        .queryName(name)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
@@ -811,7 +820,9 @@ def _q_incremental_dedup(spark, sf):
         distinct_candidate_pairs,
     )
 
-    return distinct_candidate_pairs(spark.table(name))
+    return distinct_candidate_pairs(
+        spark.read.schema(OUTPUT_SCHEMA).parquet(out_dir)
+    )
 
 
 def _q_bond_threshold_edges(spark, sf):
@@ -878,18 +889,22 @@ def _q_incremental_er(spark, sf):
         )
     )
     ckpt = tempfile.mkdtemp(prefix="inc_er_ckpt_")
-    name = "inc_er_contract"
+    # parquet sink for the same driver-safety reason as incremental_dedup
+    # (memory sink = per-batch driver collect; see that query's comment)
+    out_dir = tempfile.mkdtemp(prefix="inc_er_out_")
+    from whoiswho_spark.streaming.incremental_er import OUTPUT_SCHEMA
+
     q = (
         incremental_er_stream(stream, threshold=0.5)
-        .writeStream.format("memory")
-        .queryName(name)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return canonical_partition(spark.table(name))
+    return canonical_partition(spark.read.schema(OUTPUT_SCHEMA).parquet(out_dir))
 
 
 def _q_consensus_clusters(spark, sf):
