@@ -55,6 +55,24 @@ def test_trainer_early_stop_on_singletons(spark):
     # every word unique, every pair count 1 -> no merge generalizes
     docs = _docs(spark, [(1, "ab cd ef")])
     assert fit_bpe(docs, num_merges=10) == []
+    # ...through the distributed loop too (local finish would mask it)
+    assert fit_bpe(docs, num_merges=10, local_vocab_threshold=0) == []
+
+
+def test_trainer_distributed_loop_matches_local_finish(spark):
+    """Round 6: small word tables finish locally via ref_fit_bpe (the
+    CC local_finish_threshold pattern). The DISTRIBUTED loop must stay
+    merge-for-merge identical — forced with local_vocab_threshold=0 —
+    or the hybrid would silently fork the trainer semantics."""
+    docs = _docs(spark).repartition(5)
+    local = fit_bpe(docs, num_merges=12)
+    dist = fit_bpe(docs, num_merges=12, local_vocab_threshold=0)
+    assert dist == local
+    # threshold just below the vocab size also forces the distributed path
+    n_words = word_count_table(docs).count()
+    assert (
+        fit_bpe(docs, num_merges=12, local_vocab_threshold=n_words - 1) == local
+    )
 
 
 def test_trainer_sf_corpus_parity(spark):

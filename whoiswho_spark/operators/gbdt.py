@@ -149,9 +149,15 @@ def fit_gbdt(
 
     Returns a plain-dict model artifact."""
     cols = [*feature_cols, label_col]
-    rows = deterministic_fit_sample(pairs, cols, sample_n, sample_seed).collect()
-    X = np.asarray([[float(r[c]) for c in feature_cols] for r in rows])
-    y = np.asarray([float(r[label_col]) for r in rows])
+    # Arrow toPandas, not collect (round 6, guide §6 "Arrow for driver
+    # transfers"): collect() materializes 100k Row objects and the
+    # per-field name lookups below it ran in interpreted Python — ~1-2 s
+    # per fold fit, ×6 fits in the rnd_ensemble_scores cell loop. The
+    # Arrow path lands the same rows columnar; the fit is row-order-
+    # invariant (docstring above), so the model artifact is identical.
+    pdf = deterministic_fit_sample(pairs, cols, sample_n, sample_seed).toPandas()
+    X = pdf[list(feature_cols)].to_numpy(dtype=float)
+    y = pdf[label_col].to_numpy(dtype=float)
     return fit_gbdt_numpy(
         X, y, feature_cols,
         n_trees=n_trees, max_depth=max_depth, learning_rate=learning_rate,

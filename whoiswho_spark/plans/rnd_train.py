@@ -107,20 +107,38 @@ def fit_cells(
     )
     # the fold table feeds k fits per cell — materialize once
     tp = tp.localCheckpoint()
-    fitted: list[dict] = []
-    for cell in cells:
-        fold_models = [
-            fit_gbdt(
-                tp.where(F.col("_fold") != i),
-                list(cell.feature_cols),
-                label_col=label_col,
-                n_trees=cell.n_trees,
-                max_depth=cell.max_depth,
-                learning_rate=cell.learning_rate,
-                sample_n=sample_n,
-            )
+    # The cells×k lv1 fits are INDEPENDENT (each samples its own
+    # out-of-fold rows and fits in the driver) — submit them from a
+    # small thread pool so the per-fit Spark sample jobs overlap instead
+    # of serializing their scheduling latency (guide §2.6 "overlap
+    # independent jobs"; actions are only sequential because the driver
+    # calls them sequentially). Determinism unchanged: every fit is a
+    # pure function of (fold table, config), and results are collected
+    # back in (cell, fold) order. Measured at sf0.1: fit_cells 5.8 s →
+    # ~3.5 s for the rnd_ensemble_scores 2-cell × 3-fold grid.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fit_one(cell: CellConfig, i: int) -> dict:
+        return fit_gbdt(
+            tp.where(F.col("_fold") != i),
+            list(cell.feature_cols),
+            label_col=label_col,
+            n_trees=cell.n_trees,
+            max_depth=cell.max_depth,
+            learning_rate=cell.learning_rate,
+            sample_n=sample_n,
+        )
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(cells) * k))) as pool:
+        futures = {
+            (ci, i): pool.submit(_fit_one, cell, i)
+            for ci, cell in enumerate(cells)
             for i in range(k)
-        ]
+        }
+        lv1 = {key: f.result() for key, f in futures.items()}
+    fitted: list[dict] = []
+    for ci, cell in enumerate(cells):
+        fold_models = [lv1[(ci, i)] for i in range(k)]
         lv2_model = None
         if cell.use_lv2:
             oof = tp.withColumn(
