@@ -1487,9 +1487,10 @@ def ngram_ownership_variant(spark, sf_dir):
     b = prefix_side(threshold, "b")
     shared = F.col("pm_a").bitwiseAND(F.col("pm_b"))
     # emit only from the minimum shared prefix token: no shared bit
-    # strictly below this meet's token bit
+    # strictly below this meet's token bit (unsigned-shift mask — the
+    # shiftleft(1,tok)-1 form ARITHMETIC_OVERFLOWs under ANSI at tok=63)
     own = shared.bitwiseAND(
-        F.expr("shiftleft(cast(1 as bigint), cast(tok as int)) - 1")
+        F.expr("shiftrightunsigned(cast(-1 as bigint), 64 - cast(tok as int))")
     ) == 0
     inter = F.bit_count(F.col("fm_a").bitwiseAND(F.col("fm_b")))
     union = F.col("sz_a") + F.col("sz_b") - inter

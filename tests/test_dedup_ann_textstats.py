@@ -517,6 +517,38 @@ def test_ngram_prefix_mask_regime_boundary_parity(spark, n_vocab):
     assert len(a) > 0
 
 
+def test_ngram_prefix_mask_rank63_meet_parity(spark):
+    """ANSI regression pin: at vocab = 63 the top rank's bit is the long
+    sign bit, and a doc whose prefix holds the MOST COMMON token (rank
+    63 in rarest-first order) puts tok=63 into the meet join — the
+    ownership below-mask must not compute shiftleft(1,63)−1 (ANSI
+    ARITHMETIC_OVERFLOW). Built so two single-most-common-token docs
+    actually meet on rank 63 and must pair at J=1.0."""
+    from whoiswho_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    vocab = [f"w{i:02d}" for i in range(63)]
+    rows = [
+        # every vocab word once → dense ranks cover 1..63
+        (1, "b", " ".join(vocab)),
+        (2, "b", " ".join(vocab)),
+        # make w00 the clear most-common token (rank 63), then two docs
+        # that consist ONLY of it: sz=1 ⇒ prefix = [rank 63]
+        (3, "b", "w00 w00 w00 w00 w00"),
+        (4, "b", "w00"),
+        (5, "b", "w00"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    a = {(r["id_a"], r["id_b"], r["jaccard"])
+         for r in ngram_jaccard_pairs(df, block_col="source").collect()}
+    b = {(r["id_a"], r["id_b"], r["jaccard"])
+         for r in ngram_jaccard_pairs_prefix(df, block_col="source").collect()}
+    assert a == b
+    assert (3, 4, 1.0) in a and (4, 5, 1.0) in a  # the rank-63 meets
+
+
 def test_ngram_prefix_boundary_threshold_parity(spark):
     """Thresholds whose float product lands one ULP above the exact
     rational (0.28·25 → 7.000000000000001; same family at 0.56) used to

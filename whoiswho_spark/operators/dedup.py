@@ -641,12 +641,16 @@ def ngram_jaccard_pairs_prefix(
                 >= F.lit(float(threshold)) * F.greatest("sz_a", "sz_b")
             )
         shared = F.col("pm_a").bitwiseAND(F.col("pm_b"))
-        owns = (
-            shared.bitwiseAND(
-                F.expr("shiftleft(cast(1 as bigint), cast(tok as int)) - 1")
-            )
-            == 0
+        # bits strictly below tok as an UNSIGNED shift of -1: ranks are
+        # 1..63 so 64-tok ∈ [1, 63] and the mask is 2^tok − 1 with no
+        # arithmetic — `shiftleft(1, tok) - 1` would ARITHMETIC_OVERFLOW
+        # under ANSI at tok = 63 (Long.MIN − 1), which a vocab of exactly
+        # 63 ranks can reach when a doc's prefix contains the most
+        # common token (regression-pinned in the rank-63 parity test)
+        below_tok = F.expr(
+            "shiftrightunsigned(cast(-1 as bigint), 64 - cast(tok as int))"
         )
+        owns = shared.bitwiseAND(below_tok) == 0
         inter = F.bit_count(F.col("fm_a").bitwiseAND(F.col("fm_b")))
         union = F.col("sz_a") + F.col("sz_b") - inter
         return (
