@@ -1068,9 +1068,9 @@ def cc_int_encode_proto(spark, sf_dir):
     verts = blocks.select("url").distinct()
 
     reps = int(os.environ.get("CCINT_REPS", "2"))
-    spark.sparkContext.setJobDescription("ccint: current string CC")
+    spark.sparkContext.setJobDescription("ccint: connected_components as shipped")
     timed(
-        "ccint/cc_strings",
+        "ccint/cc_current",
         lambda: noop(connected_components(edges, vertices=verts)),
         reps=reps,
     )
